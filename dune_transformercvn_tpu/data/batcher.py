@@ -1,0 +1,246 @@
+"""Host-side batch assembly producing fixed-shape, shard-ready arrays.
+
+The reference collates variable-length COO tensors per batch and trims the
+prong axis to the batch max (neutrino_full_base_trainer.py:132-135,
+minkowski_dataset.py:29-86) — dynamic shapes that would force an XLA
+recompilation per step.  Here every batch has one of a small set of static
+shapes:
+
+* the packed-prong axis (only *real* prongs get CNN work, mirroring the
+  reference's masked_pack trick, packed_data.py:60-76) is rounded up to
+  ``batch_size_per_shard * multiplier`` for a fixed multiplier ladder;
+* COO hit counts are rounded up to a coarse granularity;
+* padding COO rows carry an out-of-range owner index so the on-device
+  scatter-add (`.at[...].add(..., mode="drop")`) ignores them with zero
+  branching.
+
+All arrays are laid out ``[num_shards * per_shard, ...]`` along axis 0 so a
+``shard_map`` over a 1-D "data" mesh gives each device its own shard with
+purely local indices — no cross-device gathers in the input path.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .schema import MAX_PRONGS
+
+
+@dataclass(frozen=True)
+class BatchShape:
+    """Static shape signature of a batch (one XLA specialization each)."""
+
+    per_shard: int          # events per shard
+    prong_slots: int        # packed prong slots per shard
+    event_hits: int         # COO bucket for event hits per shard
+    prong_hits: int         # COO bucket for prong hits per shard
+
+
+def _bucket(value: int, granularity: int) -> int:
+    return max(granularity, -(-value // granularity) * granularity)
+
+
+class Batcher:
+    """Assembles global batches from an :class:`EventDataset`.
+
+    Parameters
+    ----------
+    dataset:
+        An ``EventDataset``.
+    batch_size:
+        Global batch size (events per optimization step).
+    num_shards:
+        Data-parallel mesh size; ``batch_size`` must divide evenly.
+    prong_bucket_multipliers:
+        Ladder of packed-prong capacities in average-prongs-per-event.
+    coo_granularity:
+        COO hit-count bucket granularity per shard.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        num_shards: int = 1,
+        prong_bucket_multipliers: Sequence[int] = (4, 8, 12, 16, 21),
+        coo_granularity: int = 8192,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        if batch_size % num_shards != 0:
+            raise ValueError(
+                f"batch_size={batch_size} not divisible by num_shards={num_shards}"
+            )
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_shards = num_shards
+        self.per_shard = batch_size // num_shards
+        self.multipliers = sorted(set(int(m) for m in prong_bucket_multipliers) | {MAX_PRONGS + 1})
+        self.coo_granularity = coo_granularity
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def steps_per_epoch(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    # -------------------------------------------------------------------------
+
+    def _prong_capacity(self, max_needed: int) -> int:
+        for m in self.multipliers:
+            if m * self.per_shard >= max_needed:
+                return m * self.per_shard
+        return (MAX_PRONGS + 1) * self.per_shard
+
+    def build_batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        """Assemble one global batch for the given event indices."""
+        S, b = self.num_shards, self.per_shard
+        assert len(indices) == S * b
+
+        raw = self.dataset.gather_events(indices)
+        mask = raw["prong_mask"].reshape(S, b, MAX_PRONGS)
+
+        # --- choose the static bucket sizes for this batch -------------------
+        counts = mask.sum(-1)                            # [S, b]
+        prong_cap = self._prong_capacity(int(counts.sum(-1).max()))
+
+        ev_owner_g = raw["event_owner"]                  # global row of each hit
+        pr_owner_g = raw["prong_owner"]
+        ev_shard = ev_owner_g // b
+        pr_shard = pr_owner_g // b
+        ev_per_shard = np.bincount(ev_shard, minlength=S)
+        pr_per_shard = np.bincount(pr_shard, minlength=S)
+        ev_cap = _bucket(int(ev_per_shard.max()), self.coo_granularity)
+        pr_cap = _bucket(int(pr_per_shard.max()), self.coo_granularity)
+
+        C = raw["event_values"].shape[1] if raw["event_values"].size else self.dataset.pixel_features
+
+        # --- packed prong slot maps ------------------------------------------
+        slot_batch = np.full((S, prong_cap), b, dtype=np.int32)   # b == OOB pad
+        slot_pos = np.zeros((S, prong_cap), dtype=np.int32)
+        slot_mask = np.zeros((S, prong_cap), dtype=bool)
+        slot_start = np.zeros((S, b), dtype=np.int64)             # first slot per event
+        for s in range(S):
+            cursor = 0
+            for i in range(b):
+                n = int(counts[s, i])
+                slot_start[s, i] = cursor
+                slot_batch[s, cursor:cursor + n] = i
+                slot_pos[s, cursor:cursor + n] = np.arange(n)
+                slot_mask[s, cursor:cursor + n] = True
+                cursor += n
+
+        # --- COO banks, padded to the bucket with OOB owners ------------------
+        def pack_coo(coords, values, owner_g, shard_of_hit, caps, owner_local_fn, oob):
+            out_xy = np.zeros((S, caps, 2), dtype=np.int32)
+            out_v = np.zeros((S, caps, C), dtype=np.float32)
+            out_o = np.full((S, caps), oob, dtype=np.int32)
+            for s in range(S):
+                sel = shard_of_hit == s
+                n = int(sel.sum())
+                out_xy[s, :n] = coords[sel][:, 1:3]
+                out_v[s, :n] = values[sel]
+                out_o[s, :n] = owner_local_fn(s, coords[sel], owner_g[sel])
+            return out_xy, out_v, out_o
+
+        ev_xy, ev_v, ev_o = pack_coo(
+            raw["event_coords"], raw["event_values"], ev_owner_g, ev_shard, ev_cap,
+            lambda s, c, og: og % b,                      # owner: local event row
+            oob=b,
+        )
+
+        def prong_owner_local(s, coords, owner_g):
+            local_event = owner_g % b
+            # packed slot = slot_start[event] + prong index within event
+            return slot_start[s, local_event] + coords[:, 0]
+
+        pr_xy, pr_v, pr_o = pack_coo(
+            raw["prong_coords"], raw["prong_values"], pr_owner_g, pr_shard, pr_cap,
+            prong_owner_local,
+            oob=prong_cap,
+        )
+
+        def flat(x):  # [S, ...] -> [S * dim0, ...]
+            return np.ascontiguousarray(x.reshape(-1, *x.shape[2:]))
+
+        return {
+            "features": raw["features"].astype(np.float32),
+            "extra": raw["extra"].astype(np.float32),
+            "prong_mask": raw["prong_mask"],
+            "event_targets": raw["event_targets"].astype(np.int32),
+            "prong_targets": raw["prong_targets"].astype(np.int32),
+            "event_xy": flat(ev_xy),
+            "event_vals": flat(ev_v),
+            "event_owner": flat(ev_o),
+            "prong_xy": flat(pr_xy),
+            "prong_vals": flat(pr_v),
+            "prong_owner": flat(pr_o),
+            "slot_batch": flat(slot_batch),
+            "slot_pos": flat(slot_pos),
+            "slot_mask": flat(slot_mask),
+        }
+
+    def shape_of(self, batch: Dict[str, np.ndarray]) -> BatchShape:
+        S = self.num_shards
+        return BatchShape(
+            per_shard=batch["features"].shape[0] // S,
+            prong_slots=batch["slot_batch"].shape[0] // S,
+            event_hits=batch["event_owner"].shape[0] // S,
+            prong_hits=batch["prong_owner"].shape[0] // S,
+        )
+
+    # -------------------------------------------------------------------------
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
+            rng.shuffle(order)
+        return order
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        order = self.epoch_indices(epoch)
+        n_full = len(order) // self.batch_size
+        for k in range(n_full):
+            yield self.build_batch(order[k * self.batch_size:(k + 1) * self.batch_size])
+        if not self.drop_last and len(order) % self.batch_size:
+            tail = order[n_full * self.batch_size:]
+            pad = np.resize(tail, self.batch_size)  # wrap-pad to keep shapes static
+            yield self.build_batch(pad)
+
+    def prefetch_epoch(self, epoch: int = 0, depth: int = 2) -> Iterator[Dict[str, np.ndarray]]:
+        """Epoch iterator with background-thread prefetch."""
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for item in self.epoch(epoch):
+                    q.put(item)
+            except BaseException as e:  # propagate to consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item

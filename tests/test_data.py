@@ -1,0 +1,160 @@
+"""Data layer tests: schema round-trip, splits, statistics, batch assembly."""
+
+import numpy as np
+import pytest
+
+from dune_transformercvn_tpu.config import Options
+from dune_transformercvn_tpu.data import Batcher, EventDataset, create_datasets
+from dune_transformercvn_tpu.data.schema import (
+    IMAGE_HEIGHT,
+    IMAGE_WIDTH,
+    MAX_PRONGS,
+    remap_event_current_targets,
+)
+
+
+def test_remap_event_current_targets():
+    detailed = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9])
+    coarse = remap_event_current_targets(detailed)
+    assert coarse.tolist() == [0, 0, 0, 0, 1, 1, 1, 1, 2, 3]
+
+
+def test_dataset_loads_and_splits(synthetic_file):
+    ds = EventDataset(synthetic_file, 1.0, event_current_targets=True)
+    # The reference slices [indices.min(), indices.max()) and so drops the
+    # final event of a range (minkowski_dataset.py:113-120); we keep those
+    # split semantics for step-count parity.
+    assert ds.num_events == 95
+    assert ds.max_particles == MAX_PRONGS
+    assert ds.num_event_classes == 4
+    assert ds.num_prong_classes == 8
+    assert ds.pixel_shape == (IMAGE_HEIGHT, IMAGE_WIDTH)
+    # column 0 of the prong mask is forced on
+    assert ds.prong_mask[:, 0].all()
+
+    train = EventDataset(synthetic_file, (0.0, 0.75), event_current_targets=True)
+    val = EventDataset(synthetic_file, (0.75, 1.0), event_current_targets=True)
+    assert len(train) == 71 and len(val) == 23
+
+
+def test_memmap_and_ram_paths_agree(synthetic_file):
+    lazy = EventDataset(synthetic_file, (0.25, 0.75))
+    ram = EventDataset(synthetic_file, (0.25, 0.75), load_full_dataset=True)
+    idx = np.array([0, 3, 7, 20])
+    a = lazy.gather_events(idx)
+    b = ram.gather_events(idx)
+    for key in a:
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+
+
+def test_statistics_masked(synthetic_file):
+    ds = EventDataset(synthetic_file)
+    mean, std, em, es = ds.compute_statistics()
+    masked = ds.features[ds.prong_mask]
+    np.testing.assert_allclose(mean, masked.mean(0), rtol=1e-5)
+    assert (std > 0).all()
+
+    # Sharing: a second dataset adopts the provided stats verbatim.
+    other = EventDataset(synthetic_file, (0.5, 1.0))
+    m2, s2, _, _ = other.compute_statistics(mean, std, em, es)
+    np.testing.assert_array_equal(m2, mean)
+
+
+def test_create_datasets_fractional(synthetic_file):
+    options = Options(training_file=synthetic_file)
+    options.train_validation_split = 0.75
+    train, val, test = create_datasets(options)
+    assert len(train) == 71 and len(val) == 23 and test is None
+
+
+@pytest.mark.parametrize("num_shards", [1, 4])
+def test_batcher_static_shapes_and_reconstruction(synthetic_file, num_shards):
+    ds = EventDataset(synthetic_file, event_current_targets=True)
+    batcher = Batcher(ds, batch_size=8, num_shards=num_shards, coo_granularity=256)
+    batch = batcher.build_batch(np.arange(8))
+    shape = batcher.shape_of(batch)
+    S, b = num_shards, 8 // num_shards
+
+    assert batch["features"].shape == (8, MAX_PRONGS, ds.num_features)
+    assert batch["slot_batch"].shape == (S * shape.prong_slots,)
+    assert batch["event_owner"].shape == (S * shape.event_hits,)
+    # every real prong got exactly one slot
+    assert batch["slot_mask"].sum() == ds.prong_mask[np.arange(8)].sum()
+
+    # Reconstruct dense event images from the batch COO and compare against a
+    # direct scatter from the raw file banks.
+    raw = ds.gather_events(np.arange(8))
+    H, W, C = IMAGE_HEIGHT, IMAGE_WIDTH, ds.pixel_features
+    direct = np.zeros((8, H, W, C), np.float32)
+    np.add.at(
+        direct,
+        (raw["event_owner"], raw["event_coords"][:, 1], raw["event_coords"][:, 2]),
+        raw["event_values"],
+    )
+
+    rebuilt = np.zeros((8, H, W, C), np.float32)
+    owners = batch["event_owner"].reshape(S, -1)
+    xys = batch["event_xy"].reshape(S, -1, 2)
+    vals = batch["event_vals"].reshape(S, -1, C)
+    for s in range(S):
+        real = owners[s] < b
+        np.add.at(
+            rebuilt,
+            (s * b + owners[s][real], xys[s][real, 0], xys[s][real, 1]),
+            vals[s][real],
+        )
+    np.testing.assert_allclose(rebuilt, direct, rtol=1e-6)
+
+    # Prong slots: slot k of shard s must carry prong (slot_batch, slot_pos).
+    slot_batch = batch["slot_batch"].reshape(S, -1)
+    slot_pos = batch["slot_pos"].reshape(S, -1)
+    slot_mask = batch["slot_mask"].reshape(S, -1)
+    pr_owner = batch["prong_owner"].reshape(S, -1)
+    pr_xy = batch["prong_xy"].reshape(S, -1, 2)
+    pr_vals = batch["prong_vals"].reshape(S, -1, C)
+
+    direct_p = np.zeros((8, MAX_PRONGS, H, W, C), np.float32)
+    np.add.at(
+        direct_p,
+        (
+            raw["prong_owner"],
+            raw["prong_coords"][:, 0],
+            raw["prong_coords"][:, 1],
+            raw["prong_coords"][:, 2],
+        ),
+        raw["prong_values"],
+    )
+    for s in range(S):
+        real = pr_owner[s] < shape.prong_slots
+        imgs = np.zeros((shape.prong_slots, H, W, C), np.float32)
+        np.add.at(
+            imgs, (pr_owner[s][real], pr_xy[s][real, 0], pr_xy[s][real, 1]), pr_vals[s][real]
+        )
+        for k in range(shape.prong_slots):
+            if slot_mask[s, k]:
+                ev = s * b + slot_batch[s, k]
+                np.testing.assert_allclose(imgs[k], direct_p[ev, slot_pos[s, k]], rtol=1e-6)
+            else:
+                assert not imgs[k].any()
+
+
+def test_batcher_epoch_shuffle_determinism(synthetic_file):
+    ds = EventDataset(synthetic_file)
+    batcher = Batcher(ds, batch_size=16, shuffle=True, seed=3)
+    a = batcher.epoch_indices(epoch=1)
+    b = batcher.epoch_indices(epoch=1)
+    c = batcher.epoch_indices(epoch=2)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert len(list(batcher.epoch(0))) == len(ds) // 16 == batcher.steps_per_epoch()
+
+
+def test_batcher_prefetch_matches_sync(synthetic_file):
+    ds = EventDataset(synthetic_file)
+    batcher = Batcher(ds, batch_size=16, shuffle=True, seed=5)
+    sync = list(batcher.epoch(0))
+    pre = list(batcher.prefetch_epoch(0))
+    assert len(sync) == len(pre)
+    for x, y in zip(sync, pre):
+        np.testing.assert_array_equal(x["event_targets"], y["event_targets"])
+        np.testing.assert_array_equal(x["prong_vals"], y["prong_vals"])
