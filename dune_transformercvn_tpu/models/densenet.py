@@ -1,0 +1,124 @@
+"""DenseNet-BC pixel embedder in NHWC with PReLU and masked BatchNorm.
+
+TPU-first re-design of the reference's custom DenseNet (dense_net.py:8-167):
+same topology (7x7/2 stem + avgpool3/2, bottleneck 1x1-expand -> 3x3-growth
+dense blocks with channel concat, 1x1 + avgpool2 transitions, global average
+pool, linear output block) but NHWC layout for the MXU, bfloat16-friendly
+compute, and per-image mask weighting of every BatchNorm so that padded
+prong-slot images contribute nothing to the statistics (the reference instead
+packs real images; the masked form is numerically identical).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.masked import MaskedBatchNorm, PReLU
+
+
+class Bottleneck(nn.Module):
+    growth_rate: int
+    batch_norm_size: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        c_in = x.shape[-1]
+        expand = self.batch_norm_size * self.growth_rate
+
+        h = MaskedBatchNorm(c_in, axis_name=self.axis_name)(
+            x, mask, use_running_average=not train
+        )
+        h = PReLU(c_in)(h)
+        h = nn.Conv(expand, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(h)
+
+        h = MaskedBatchNorm(expand, axis_name=self.axis_name)(
+            h, mask, use_running_average=not train
+        )
+        h = PReLU(expand)(h)
+        h = nn.Conv(
+            self.growth_rate, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32
+        )(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=not train)
+
+        return jnp.concatenate([x, h], axis=-1)
+
+
+class Transition(nn.Module):
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        c_in = x.shape[-1]
+        x = MaskedBatchNorm(c_in, axis_name=self.axis_name)(
+            x, mask, use_running_average=not train
+        )
+        x = PReLU(c_in)(x)
+        x = nn.Conv(self.features, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class DenseNet(nn.Module):
+    """Full embedder: NHWC images ``[N, H, W, C]`` -> vectors ``[N, output_dim]``."""
+
+    output_dim: int
+    initial_features: int = 64
+    growth_rate: int = 32
+    batch_norm_size: int = 4
+    block_config: Sequence[int] = (6, 12, 24, 16)
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, images, mask=None, train: bool = False):
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        x = images.astype(self.dtype)
+
+        # Stem: 7x7/2 conv, BN, PReLU, 3x3/2 average pool.
+        x = nn.Conv(
+            self.initial_features, (7, 7), strides=(2, 2), padding=3,
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )(x)
+        x = MaskedBatchNorm(self.initial_features, axis_name=self.axis_name)(
+            x, mask, use_running_average=not train
+        )
+        x = PReLU(self.initial_features)(x)
+        x = nn.avg_pool(x, (3, 3), strides=(2, 2))
+
+        features = self.initial_features
+        for i, num_layers in enumerate(self.block_config):
+            for j in range(num_layers):
+                x = Bottleneck(
+                    self.growth_rate, self.batch_norm_size, self.dropout, **kw
+                )(x, mask, train)
+            features += num_layers * self.growth_rate
+            if i != len(self.block_config) - 1:
+                features //= 2
+                x = Transition(features, **kw)(x, mask, train)
+
+        x = MaskedBatchNorm(features, axis_name=self.axis_name)(
+            x, mask, use_running_average=not train
+        )
+        x = PReLU(features)(x)
+
+        # Global average pool over the remaining spatial extent.
+        x = jnp.mean(x, axis=(1, 2))
+
+        # Output block: Linear (no bias) -> BN -> PReLU -> Dropout.
+        x = nn.Dense(self.output_dim, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = MaskedBatchNorm(self.output_dim, axis_name=self.axis_name)(
+            x, mask, use_running_average=not train
+        )
+        x = PReLU(self.output_dim)(x)
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        return x

@@ -1,0 +1,97 @@
+"""Masked shared transformer encoder over the [event, prong_1..20] sequence.
+
+Re-design of the reference encoder (prong_custom_bert_encoder.py:29-75), which
+wraps torch ``nn.TransformerEncoder``:
+
+* batch-first ``[B, T, D]`` layout (T = 21 tokens — tiny, so attention is a
+  single fused XLA op; no flash/blockwise machinery is warranted, a parity
+  decision documented in SURVEY §5),
+* key-padding mask (padded keys excluded from attention),
+* the input and output are multiplied by the sequence mask, matching
+  prong_custom_bert_encoder.py:70-73,
+* post-norm (torch default) or pre-norm per ``norm_first``,
+* feed-forward width equals ``hidden_dim`` (the reference passes hidden_dim
+  as dim_feedforward).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class EncoderLayer(nn.Module):
+    hidden_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    activation: str = "gelu"
+    norm_first: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attention_mask=None, train: bool = False):
+        act = nn.gelu if self.activation == "gelu" else nn.relu
+        deterministic = not train
+
+        def attn_block(h):
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads,
+                qkv_features=self.hidden_dim,
+                out_features=self.hidden_dim,
+                dropout_rate=self.dropout,
+                deterministic=deterministic,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(h, h, mask=attention_mask)
+            return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+        def ff_block(h):
+            h = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32)(h)
+            h = act(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32)(h)
+            return nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+        norm1 = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
+        norm2 = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
+
+        if self.norm_first:
+            x = x + attn_block(norm1(x))
+            x = x + ff_block(norm2(x))
+        else:
+            x = norm1(x + attn_block(x))
+            x = norm2(x + ff_block(x))
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    hidden_dim: int
+    num_heads: int
+    num_layers: int
+    dropout: float = 0.0
+    activation: str = "gelu"
+    norm_first: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, embeddings, mask, train: bool = False):
+        """``embeddings``: [B, T, D]; ``mask``: [B, T] bool (True = real)."""
+        B, T, _ = embeddings.shape
+        seq_mask = mask[..., None].astype(embeddings.dtype)
+
+        # [B, 1(heads), Tq, Tk]: every query may attend to any real key.
+        attention_mask = jnp.broadcast_to(mask[:, None, None, :], (B, 1, T, T))
+
+        x = embeddings * seq_mask
+        for _ in range(self.num_layers):
+            x = EncoderLayer(
+                hidden_dim=self.hidden_dim,
+                num_heads=self.num_heads,
+                dropout=self.dropout,
+                activation=self.activation,
+                norm_first=self.norm_first,
+                dtype=self.dtype,
+            )(x, attention_mask, train)
+        return x * seq_mask

@@ -1,0 +1,341 @@
+"""TransformerCVN: the full event + prong classification network.
+
+Re-design of the reference's live model stack (neutrino_full_base_network.py:
+17-188 plus the dense/sdxl/sparse subclasses): two pixel-CNN embedders (event
+and prong), a feature-embedding MLP, learned type position embeddings, a
+shared combined LinearBlock, the masked transformer encoder, and the two
+classification heads.  The reference's trainer-subclass-per-architecture
+hierarchy becomes a registry keyed by ``ModelConfig.embedder``.
+
+TPU-first specifics:
+
+* pixel preprocessing + COO->dense scatter happen inside the jitted graph
+  (static shapes, drop-mode padding) instead of a host-side collate;
+* prong CNN work runs on the *packed* slot axis only (real prongs), exactly
+  like the reference's masked_pack trick, but with bucketed static sizes;
+* everything is NHWC / bfloat16-friendly; logits are returned in float32.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.scatter import densify_images, pack_rows, pad_rows
+from .blocks import FeatureEmbedding, LinearBlock, make_divisible
+from .densenet import DenseNet
+from .encoder import TransformerEncoder
+from .heads import EventDecoder, ProngDecoder
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    # architecture
+    hidden_dim: int = 128
+    initial_feature_dim: int = 32
+    initial_pixel_dim: int = 16
+    feature_embedding_dim: int = 8
+    pixel_embedding_dim: int = 512
+    position_embedding_dim: int = 16
+    num_embedding_layers: int = 100
+    num_encoder_layers: int = 5
+    num_prong_decoder_layers: int = 4
+    num_attention_heads: int = 8
+    transformer_activation: str = "gelu"
+    transformer_norm_first: bool = False
+    linear_prelu_activation: bool = True
+    linear_batch_norm: bool = True
+    disable_smart_features: bool = False
+    one_hot_pixels: bool = False
+    log_pixels: bool = False
+    densenet_structure: Tuple[int, ...] = (6, 12, 24, 16)
+    densenet_growth_rate: int = 16
+    densenet_batch_norm_size: int = 4
+    dropout: float = 0.0
+    pixel_noise_std: float = 0.01
+    # data dims
+    features_dim: int = 6
+    extra_dim: int = 4
+    pixel_channels: int = 3
+    image_height: int = 400
+    image_width: int = 280
+    max_prongs: int = 20
+    num_event_classes: int = 4
+    num_prong_classes: int = 8
+    # embedder family: 'dense' | 'sdxl' | 'sparse'
+    embedder: str = "dense"
+    # execution
+    compute_dtype: str = "bfloat16"
+    axis_name: Optional[str] = None
+    # Reference quirk (neutrino_full_base_network.py:107): prongs reuse the
+    # *event* position embedding; set True to use the dedicated prong vector.
+    fix_prong_position_embedding: bool = False
+
+    @classmethod
+    def from_options(
+        cls,
+        options,
+        features_dim: int,
+        extra_dim: int,
+        pixel_channels: int,
+        num_event_classes: int,
+        num_prong_classes: int,
+        image_shape: Tuple[int, int] = (400, 280),
+        embedder: str = "dense",
+        axis_name: Optional[str] = None,
+    ) -> "ModelConfig":
+        return cls(
+            hidden_dim=options.hidden_dim,
+            initial_feature_dim=options.initial_feature_dim,
+            initial_pixel_dim=options.initial_pixel_dim,
+            feature_embedding_dim=make_divisible(options.feature_embedding_dim, 8),
+            pixel_embedding_dim=make_divisible(options.pixel_embedding_dim, 8),
+            position_embedding_dim=make_divisible(options.position_embedding_dim, 8),
+            num_embedding_layers=options.num_embedding_layers,
+            num_encoder_layers=options.num_encoder_layers,
+            num_prong_decoder_layers=options.num_prong_decoder_layers,
+            num_attention_heads=options.num_attention_heads,
+            transformer_activation=options.transformer_activation,
+            transformer_norm_first=options.transformer_norm_first,
+            linear_prelu_activation=options.linear_prelu_activation,
+            linear_batch_norm=options.linear_batch_norm,
+            disable_smart_features=options.disable_smart_features,
+            one_hot_pixels=options.one_hot_pixels,
+            log_pixels=options.log_pixels,
+            densenet_structure=tuple(options.densenet_structure),
+            densenet_growth_rate=options.densenet_growth_rate,
+            densenet_batch_norm_size=options.densenet_batch_norm_size,
+            dropout=options.dropout,
+            pixel_noise_std=options.pixel_noise_std,
+            features_dim=features_dim,
+            extra_dim=extra_dim,
+            pixel_channels=pixel_channels,
+            image_height=image_shape[0],
+            image_width=image_shape[1],
+            num_event_classes=num_event_classes,
+            num_prong_classes=num_prong_classes,
+            embedder=embedder,
+            compute_dtype=options.compute_dtype,
+            axis_name=axis_name,
+        )
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @property
+    def cnn_input_channels(self) -> int:
+        return self.pixel_channels * 256 if self.one_hot_pixels else self.pixel_channels
+
+
+def create_pixel_embedder(cfg: ModelConfig, output_dim: int, name: str) -> nn.Module:
+    """Embedder registry: one CNN family per reference network subclass."""
+    if cfg.embedder == "dense":
+        return DenseNet(
+            output_dim=output_dim,
+            initial_features=cfg.initial_pixel_dim,
+            growth_rate=cfg.densenet_growth_rate,
+            batch_norm_size=cfg.densenet_batch_norm_size,
+            block_config=cfg.densenet_structure,
+            dropout=cfg.dropout,
+            dtype=cfg.dtype,
+            axis_name=cfg.axis_name,
+            name=name,
+        )
+    if cfg.embedder == "sdxl":
+        from .sdxl import SDXLEncoder
+
+        return SDXLEncoder(
+            output_dim=output_dim,
+            init_block_dim=cfg.initial_pixel_dim,
+            repeat_block_dim=2,
+            num_blocks=4,
+            norm_num_groups=1,
+            dtype=cfg.dtype,
+            name=name,
+        )
+    if cfg.embedder == "sparse":
+        from .sparse_densenet import SparseDenseNet
+
+        return SparseDenseNet(
+            output_dim=output_dim,
+            initial_features=cfg.initial_pixel_dim,
+            growth_rate=cfg.densenet_growth_rate,
+            batch_norm_size=cfg.densenet_batch_norm_size,
+            block_config=cfg.densenet_structure,
+            dropout=cfg.dropout,
+            dtype=cfg.dtype,
+            axis_name=cfg.axis_name,
+            name=name,
+        )
+    raise ValueError(f"unknown embedder family: {cfg.embedder}")
+
+
+class TransformerCVN(nn.Module):
+    """Full network; see module docstring for the layer map."""
+
+    cfg: ModelConfig
+
+    def preprocess_values(self, values: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """Pixel-value preprocessing (neutrino_full_dense_trainer.py:46-66):
+        one-hot(256) per view, or log1p / divide-by-255 plus train-time
+        multiplicative Gaussian noise."""
+        cfg = self.cfg
+        if cfg.one_hot_pixels:
+            n, c = values.shape
+            one_hot = jax.nn.one_hot(values.astype(jnp.int32), 256, dtype=cfg.dtype)
+            return one_hot.reshape(n, 256 * c)
+
+        values = jnp.log1p(values) if cfg.log_pixels else values / 255.0
+        if train and cfg.pixel_noise_std > 0:
+            noise = jax.random.normal(self.make_rng("noise"), values.shape, jnp.float32)
+            values = values * (1.0 + noise * cfg.pixel_noise_std)
+        return values.astype(cfg.dtype)
+
+    @nn.compact
+    def __call__(
+        self,
+        batch,
+        norm,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Forward pass on one (per-device) shard.
+
+        ``batch``: dict with the batcher's per-shard arrays.
+        ``norm``: dict with 'mean', 'std', 'extra_mean', 'extra_std'
+        (dataset statistics; shipped inside the checkpointed state like the
+        reference's frozen stat Parameters, neutrino_base.py:32-45).
+        Returns float32 ``(event_logits [B, Kev], prong_logits [B, P, Kpr])``.
+        """
+        cfg = self.cfg
+        B = batch["features"].shape[0]
+        P = batch["slot_batch"].shape[0]
+        H, W = cfg.image_height, cfg.image_width
+        prong_mask = batch["prong_mask"]
+        slot_mask = batch["slot_mask"]
+
+        # ---- densify pixel maps (static scatter-add, padding dropped) -------
+        event_images = densify_images(
+            batch["event_xy"],
+            self.preprocess_values(batch["event_vals"], train),
+            batch["event_owner"], B, H, W,
+        )
+        prong_images = densify_images(
+            batch["prong_xy"],
+            self.preprocess_values(batch["prong_vals"], train),
+            batch["prong_owner"], P, H, W,
+        )
+
+        # ---- pixel CNNs ------------------------------------------------------
+        event_pixel_dim = cfg.pixel_embedding_dim + cfg.feature_embedding_dim
+        event_cnn = create_pixel_embedder(cfg, event_pixel_dim, "event_pixel_embedding")
+        prong_cnn = create_pixel_embedder(cfg, cfg.pixel_embedding_dim, "prong_pixel_embedding")
+
+        event_pixel_emb = event_cnn(event_images, None, train)           # [B, pix+feat]
+        prong_pixel_emb = prong_cnn(prong_images, slot_mask, train)      # [P, pix]
+
+        # ---- packed prong reco features -------------------------------------
+        packed_features = pack_rows(batch["features"], batch["slot_batch"], batch["slot_pos"])
+        packed_features = (packed_features - norm["mean"]) / norm["std"]
+        packed_extra = batch["extra"][jnp.clip(batch["slot_batch"], 0, B - 1)]
+        packed_extra = (packed_extra - norm["extra_mean"]) / norm["extra_std"]
+
+        feature_emb = FeatureEmbedding(
+            output_dim=cfg.feature_embedding_dim,
+            initial_dim=cfg.initial_feature_dim,
+            max_layers=cfg.num_embedding_layers,
+            disabled=cfg.disable_smart_features,
+            batch_norm=cfg.linear_batch_norm,
+            prelu=cfg.linear_prelu_activation,
+            dropout=cfg.dropout,
+            dtype=cfg.dtype,
+            axis_name=cfg.axis_name,
+            name="feature_embedding",
+        )(packed_features.astype(cfg.dtype), packed_extra.astype(cfg.dtype), slot_mask, train)
+
+        # ---- learned type position embeddings --------------------------------
+        event_position = self.param(
+            "event_position_embedding",
+            nn.initializers.normal(1.0),
+            (1, cfg.position_embedding_dim),
+            jnp.float32,
+        )
+        prong_position = self.param(
+            "prong_position_embedding",
+            nn.initializers.normal(1.0),
+            (1, cfg.position_embedding_dim),
+            jnp.float32,
+        )
+        # Reference quirk preserved by default: prongs reuse the event vector.
+        prong_pos_used = prong_position if cfg.fix_prong_position_embedding else event_position
+
+        event_tokens = jnp.concatenate(
+            [event_pixel_emb, jnp.broadcast_to(event_position, (B, cfg.position_embedding_dim)).astype(cfg.dtype)],
+            axis=1,
+        )
+        prong_tokens = jnp.concatenate(
+            [
+                feature_emb,
+                prong_pixel_emb,
+                jnp.broadcast_to(prong_pos_used, (P, cfg.position_embedding_dim)).astype(cfg.dtype),
+            ],
+            axis=1,
+        )
+
+        # ---- shared combined embedding over [event rows; packed prong rows] --
+        combined = jnp.concatenate([event_tokens, prong_tokens], axis=0)
+        combined_mask = jnp.concatenate(
+            [jnp.ones((B,), bool), slot_mask.astype(bool)], axis=0
+        )
+        combined = LinearBlock(
+            cfg.hidden_dim,
+            batch_norm=cfg.linear_batch_norm,
+            prelu=cfg.linear_prelu_activation,
+            dropout=cfg.dropout,
+            dtype=cfg.dtype,
+            axis_name=cfg.axis_name,
+            name="combined_embedding",
+        )(combined, combined_mask, train)
+
+        event_hidden = combined[:B]
+        prong_hidden = pad_rows(
+            combined[B:], batch["slot_batch"], batch["slot_pos"], B, cfg.max_prongs
+        )
+
+        # ---- sequence assembly + shared transformer --------------------------
+        sequence = jnp.concatenate([event_hidden[:, None, :], prong_hidden], axis=1)
+        sequence_mask = jnp.concatenate(
+            [jnp.ones((B, 1), bool), prong_mask.astype(bool)], axis=1
+        )
+        hidden = TransformerEncoder(
+            hidden_dim=cfg.hidden_dim,
+            num_heads=cfg.num_attention_heads,
+            num_layers=cfg.num_encoder_layers,
+            dropout=cfg.dropout,
+            activation=cfg.transformer_activation,
+            norm_first=cfg.transformer_norm_first,
+            dtype=cfg.dtype,
+            name="encoder",
+        )(sequence, sequence_mask, train)
+
+        # ---- heads ------------------------------------------------------------
+        event_logits = EventDecoder(cfg.num_event_classes, dtype=cfg.dtype, name="event_decoder")(
+            hidden[:, 0]
+        )
+        prong_logits = ProngDecoder(
+            num_classes=cfg.num_prong_classes,
+            hidden_dim=cfg.hidden_dim,
+            num_layers=cfg.num_prong_decoder_layers,
+            batch_norm=cfg.linear_batch_norm,
+            prelu=cfg.linear_prelu_activation,
+            dropout=cfg.dropout,
+            dtype=cfg.dtype,
+            axis_name=cfg.axis_name,
+            name="prong_decoder",
+        )(hidden[:, 1:], prong_mask.astype(bool), train)
+
+        return event_logits.astype(jnp.float32), prong_logits.astype(jnp.float32)

@@ -1,0 +1,57 @@
+"""COO <-> dense image / sequence scatter-gather with static shapes.
+
+Replaces the reference's dynamic COO collation + ``sparse_to_dense``
+scatter-add (neutrino_full_dense_trainer.py:15-24) and the TorchScript'd
+masked pack/pad kernels (packed_data.py:60-95).  All shapes here are static;
+padding rows carry out-of-range indices and are silently dropped via
+``mode="drop"``, so the scatters lower to single fused XLA scatter ops with no
+host synchronization and no recompilation.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def densify_images(
+    xy: jnp.ndarray,       # [N, 2] int32 pixel coordinates
+    values: jnp.ndarray,   # [N, C] pixel values
+    owner: jnp.ndarray,    # [N] int32 image index; >= num_images means padding
+    num_images: int,
+    height: int,
+    width: int,
+) -> jnp.ndarray:
+    """Scatter-add COO hits into dense NHWC images ``[num_images, H, W, C]``."""
+    images = jnp.zeros((num_images, height, width, values.shape[-1]), values.dtype)
+    return images.at[owner, xy[:, 0], xy[:, 1]].add(
+        values, mode="drop", unique_indices=False, indices_are_sorted=False
+    )
+
+
+def pack_rows(
+    data: jnp.ndarray,        # [B, L, ...]
+    slot_batch: jnp.ndarray,  # [P] int32 event row per packed slot
+    slot_pos: jnp.ndarray,    # [P] int32 position within event
+) -> jnp.ndarray:
+    """Gather padded ``[B, L, ...]`` rows into packed ``[P, ...]`` layout.
+
+    Padding slots carry ``slot_batch == B`` (out of range); gather clips, so
+    they read row ``B-1`` — callers must mask downstream (the masked BN /
+    scatter-drop pattern guarantees they never contribute).
+    """
+    return data[
+        jnp.clip(slot_batch, 0, data.shape[0] - 1),
+        jnp.clip(slot_pos, 0, data.shape[1] - 1),
+    ]
+
+
+def pad_rows(
+    packed: jnp.ndarray,      # [P, C]
+    slot_batch: jnp.ndarray,  # [P]
+    slot_pos: jnp.ndarray,    # [P]
+    batch_size: int,
+    max_length: int,
+) -> jnp.ndarray:
+    """Scatter packed rows back to ``[B, L, C]``; padding slots are dropped."""
+    out = jnp.zeros((batch_size, max_length, packed.shape[-1]), packed.dtype)
+    return out.at[slot_batch, slot_pos].set(packed, mode="drop")

@@ -1,0 +1,151 @@
+"""Unit tests for masked ops, scatter kernels, and losses."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dune_transformercvn_tpu.ops.losses import (
+    class_balanced_loss,
+    softmax_focal_loss,
+)
+from dune_transformercvn_tpu.ops.masked import MaskedBatchNorm, PReLU
+from dune_transformercvn_tpu.ops.scatter import densify_images, pack_rows, pad_rows
+
+
+def test_prelu_matches_definition():
+    x = jnp.array([[-2.0, 3.0], [1.0, -1.0]])
+    mod = PReLU(channels=2, init_value=0.1)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(params, x)
+    np.testing.assert_allclose(y, [[-0.2, 3.0], [1.0, -0.1]], rtol=1e-6)
+
+
+def test_masked_batchnorm_equals_packed_batchnorm():
+    """BN over masked rows must equal BN over the packed (real-only) rows —
+    the property the reference encodes by packing (packed_data.py:60-76)."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(10, 4)).astype(np.float32)
+    mask = np.array([1, 1, 0, 1, 0, 1, 1, 0, 1, 1], bool)
+
+    mod = MaskedBatchNorm(channels=4)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), mask=jnp.asarray(mask))
+
+    y_masked, updated = mod.apply(
+        variables, jnp.asarray(x), mask=jnp.asarray(mask), mutable=["batch_stats"]
+    )
+
+    packed = x[mask]
+    mean = packed.mean(0)
+    var = packed.var(0)
+    expected = (packed - mean) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(np.asarray(y_masked)[mask], expected, rtol=1e-4, atol=1e-5)
+
+    # Running stats: torch momentum-0.1 update with unbiased variance.
+    n = packed.shape[0]
+    np.testing.assert_allclose(
+        updated["batch_stats"]["mean"], 0.9 * 0 + 0.1 * mean, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        updated["batch_stats"]["var"], 0.9 * 1 + 0.1 * var * n / (n - 1), rtol=1e-5
+    )
+
+
+def test_masked_batchnorm_spatial():
+    """2D case: per-image mask over NHWC, stats over (N_real, H, W)."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(4, 3, 2, 5)).astype(np.float32)
+    mask = np.array([1, 0, 1, 1], bool)
+
+    mod = MaskedBatchNorm(channels=5)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), mask=jnp.asarray(mask))
+    y, _ = mod.apply(variables, jnp.asarray(x), mask=jnp.asarray(mask), mutable=["batch_stats"])
+
+    real = x[mask].reshape(-1, 5)
+    expected = (x - real.mean(0)) / np.sqrt(real.var(0) + 1e-5)
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-4, atol=1e-5)
+
+
+def test_masked_batchnorm_eval_uses_running_stats():
+    x = jnp.ones((4, 3)) * 2.0
+    mod = MaskedBatchNorm(channels=3)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(variables, x, use_running_average=True)
+    # running mean 0, var 1 -> y == x (scale 1, bias 0)
+    np.testing.assert_allclose(y, x, rtol=1e-5)
+
+
+def test_densify_images_drops_padding():
+    xy = jnp.array([[0, 0], [1, 2], [1, 2], [3, 3]], jnp.int32)
+    vals = jnp.array([[1.0], [2.0], [3.0], [99.0]])
+    owner = jnp.array([0, 1, 1, 2], jnp.int32)  # owner 2 == num_images -> pad
+    img = densify_images(xy, vals, owner, num_images=2, height=4, width=4)
+    assert img.shape == (2, 4, 4, 1)
+    assert img[0, 0, 0, 0] == 1.0
+    assert img[1, 1, 2, 0] == 5.0  # duplicate hits accumulate
+    assert img.sum() == 6.0        # padding hit dropped
+
+
+def test_pack_pad_round_trip():
+    rng = np.random.default_rng(2)
+    B, L, C = 3, 5, 4
+    data = rng.normal(size=(B, L, C)).astype(np.float32)
+    mask = np.zeros((B, L), bool)
+    counts = [2, 5, 1]
+    for i, n in enumerate(counts):
+        mask[i, :n] = True
+
+    P = 12  # bucketed capacity > total real (8)
+    slot_batch = np.full(P, B, np.int32)
+    slot_pos = np.zeros(P, np.int32)
+    cursor = 0
+    for i, n in enumerate(counts):
+        slot_batch[cursor:cursor + n] = i
+        slot_pos[cursor:cursor + n] = np.arange(n)
+        cursor += n
+
+    packed = pack_rows(jnp.asarray(data), jnp.asarray(slot_batch), jnp.asarray(slot_pos))
+    np.testing.assert_array_equal(np.asarray(packed)[:8], data[mask])
+
+    restored = pad_rows(packed, jnp.asarray(slot_batch), jnp.asarray(slot_pos), B, L)
+    np.testing.assert_array_equal(np.asarray(restored), np.where(mask[..., None], data, 0))
+
+
+def test_focal_loss_equals_cross_entropy_at_gamma_zero():
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, 4, size=16))
+    focal = softmax_focal_loss(logits, targets, gamma=0.0)
+    log_probs = jax.nn.log_softmax(logits)
+    ce = -jnp.take_along_axis(log_probs, targets[:, None], axis=1).mean()
+    np.testing.assert_allclose(focal, ce, rtol=1e-6)
+
+
+def test_focal_loss_downweights_easy_examples():
+    easy = jnp.array([[4.0, -4.0]])
+    hard = jnp.array([[0.1, -0.1]])
+    t = jnp.array([0])
+    for logits in (easy, hard):
+        g0 = softmax_focal_loss(logits, t, gamma=0.0)
+        g2 = softmax_focal_loss(logits, t, gamma=2.0)
+        assert g2 <= g0
+    ratio_easy = softmax_focal_loss(easy, t, 2.0) / softmax_focal_loss(easy, t, 0.0)
+    ratio_hard = softmax_focal_loss(hard, t, 2.0) / softmax_focal_loss(hard, t, 0.0)
+    assert ratio_easy < ratio_hard
+
+
+def test_focal_loss_masked_weights():
+    logits = jnp.asarray(np.random.default_rng(4).normal(size=(6, 8)).astype(np.float32))
+    targets = jnp.array([1, 2, -1, 3, -1, 0])
+    weights = (targets >= 0).astype(jnp.float32)
+    masked = softmax_focal_loss(logits, targets, 1.0, weights)
+    manual = softmax_focal_loss(logits[jnp.array([0, 1, 3, 5])], targets[jnp.array([0, 1, 3, 5])], 1.0)
+    np.testing.assert_allclose(masked, manual, rtol=1e-6)
+
+
+def test_class_balanced_loss_runs():
+    logits = jnp.asarray(np.random.default_rng(5).normal(size=(8, 4)).astype(np.float32))
+    targets = jnp.asarray(np.arange(8) % 4)
+    for loss_type in ("focal", "sigmoid", "softmax"):
+        val = class_balanced_loss(targets, logits, beta=2.5, gamma=1.0, loss_type=loss_type)
+        assert np.isfinite(float(val))
