@@ -1,0 +1,49 @@
+"""Device-mesh construction and sharding specs for data-parallel training.
+
+The reference's only parallelism is DDP over NCCL (train.py:123-127,
+SURVEY §2.3).  The TPU-native equivalent is a 1-D ``jax.sharding.Mesh`` over
+the "data" axis: batches are sharded along axis 0, parameters/optimizer state
+are replicated, and gradient/metric reductions ride the ICI as ``psum``
+collectives emitted by ``shard_map``.  Per-host input sharding replaces the
+DDP DistributedSampler: the Batcher lays out each device's shard contiguously
+(batcher.py), so no resharding collective is ever needed on the input path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+DATA_AXIS = "data"
+
+
+def create_mesh(num_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices.
+
+    ``num_devices`` mirrors ``Options.num_gpu``; values above the available
+    device count are clamped (with a note), 0/None means all devices.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if num_devices and num_devices > 0:
+        if num_devices > len(devices):
+            print(
+                f"Requested {num_devices} devices but only {len(devices)} "
+                f"available; clamping."
+            )
+            num_devices = len(devices)
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Inputs: sharded along axis 0 over the data axis."""
+    return NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """State: fully replicated."""
+    return NamedSharding(mesh, PartitionSpec())

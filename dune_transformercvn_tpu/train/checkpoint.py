@@ -1,0 +1,102 @@
+"""Checkpointing: orbax-backed save/restore with top-k retention.
+
+Replaces Lightning's ModelCheckpoint configuration (train.py:107-114):
+checkpoints every validation, retains the top-k by ``val_epoch_AUC`` plus the
+most recent one ("last"), and restores the full train state — parameters, BN
+statistics, optimizer state, schedule step, dataset normalization statistics
+and the RNG key — so resume continues exactly (README.md:59-61; epoch
+shuffling is re-derived deterministically from (seed, epoch)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Minimal, robust top-k checkpoint manager over orbax StandardCheckpointer."""
+
+    def __init__(self, directory: str, top_k: int = 5, metric: str = "val_epoch_AUC"):
+        self.directory = os.path.abspath(directory)
+        self.top_k = top_k
+        self.metric = metric
+        self._checkpointer = ocp.StandardCheckpointer()
+        os.makedirs(self.directory, exist_ok=True)
+        self._index_path = os.path.join(self.directory, "index.json")
+        self._index: Dict[str, Any] = {"checkpoints": [], "last": None}
+        if os.path.exists(self._index_path):
+            with open(self._index_path) as f:
+                self._index = json.load(f)
+
+    # -------------------------------------------------------------------------
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step}")
+
+    def _write_index(self):
+        with open(self._index_path, "w") as f:
+            json.dump(self._index, f, indent=2)
+
+    def save(self, state, step: int, metric_value: Optional[float] = None):
+        """Save a checkpoint; prune beyond top-k (never pruning 'last')."""
+        path = self._path(step)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._checkpointer.save(path, state)
+        self._checkpointer.wait_until_finished()
+
+        entry = {"step": int(step), "metric": metric_value, "path": path}
+        self._index["checkpoints"] = [
+            c for c in self._index["checkpoints"] if c["step"] != int(step)
+        ] + [entry]
+        self._index["last"] = int(step)
+        self._prune()
+        self._write_index()
+        return path
+
+    def _prune(self):
+        ranked = sorted(
+            self._index["checkpoints"],
+            key=lambda c: (-(c["metric"] if c["metric"] is not None else -np.inf)),
+        )
+        keep = {c["step"] for c in ranked[: self.top_k]}
+        keep.add(self._index["last"])
+        for c in list(self._index["checkpoints"]):
+            if c["step"] not in keep:
+                shutil.rmtree(c["path"], ignore_errors=True)
+                self._index["checkpoints"].remove(c)
+
+    # -------------------------------------------------------------------------
+
+    def latest_step(self) -> Optional[int]:
+        return self._index.get("last")
+
+    def best_step(self) -> Optional[int]:
+        entries = [c for c in self._index["checkpoints"] if c["metric"] is not None]
+        if not entries:
+            return self.latest_step()
+        return max(entries, key=lambda c: c["metric"])["step"]
+
+    def restore(self, template, step: Optional[int] = None):
+        """Restore into the structure of ``template`` (a freshly built state)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        path = self._path(step)
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+        return self._checkpointer.restore(path, abstract)
+
+
+def restore_from_path(path: str, template):
+    """Restore a single checkpoint directory (the `-c path` resume flow)."""
+    checkpointer = ocp.StandardCheckpointer()
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+    return checkpointer.restore(os.path.abspath(path), abstract)

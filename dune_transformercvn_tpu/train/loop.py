@@ -1,0 +1,257 @@
+"""The training orchestrator: the TPU-native replacement for Lightning's
+``Trainer`` + the reference's LightningModule wiring.
+
+Covers (see SURVEY §1 L3/L4): dataset creation and statistic sharing
+(neutrino_base.py:20-49), per-step LR scheduling, data-parallel execution
+over a device mesh, periodic validation with psum-reduced streaming metrics,
+TensorBoard logging with reference tag names, top-k checkpointing keyed on
+``val_epoch_AUC`` and resume, and run-dir versioning with the resolved
+``options.json`` dumped beside the logs (train.py:145-149).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import Options
+from ..data.batcher import Batcher
+from ..data.dataset import create_datasets
+from ..models.network import ModelConfig, TransformerCVN
+from ..parallel.mesh import DATA_AXIS, batch_sharding, create_mesh, replicated_sharding
+from ..utils.rundir import create_run_dir
+from . import schedules
+from .checkpoint import CheckpointManager, restore_from_path
+from .logging import MetricLogger
+from .metrics import finalize_metrics, init_metric_state
+from .optimizer import create_optimizer
+from .state import create_train_state, param_count
+from .step import make_eval_step, make_predict_step, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        options: Options,
+        embedder: str = "dense",
+        name: str = "lightning_logs",
+        log_dir: Optional[str] = None,
+        run_dir: Optional[str] = None,
+        debug: bool = False,
+        verbose: Optional[bool] = None,
+    ):
+        self.options = options
+        self.debug = debug
+        self.verbose = options.verbose_output if verbose is None else verbose
+
+        # ---- mesh ------------------------------------------------------------
+        self.mesh = create_mesh(options.num_gpu)
+        self.num_shards = self.mesh.devices.size
+        self.batch_sharding = batch_sharding(self.mesh)
+        self.state_sharding = replicated_sharding(self.mesh)
+
+        # ---- data ------------------------------------------------------------
+        self.training_dataset, self.validation_dataset, self.testing_dataset = (
+            create_datasets(options)
+        )
+        if options.normalize_features:
+            stats = self.training_dataset.compute_statistics()
+            self.validation_dataset.compute_statistics(*stats)
+            if self.testing_dataset is not None:
+                self.testing_dataset.compute_statistics(*stats)
+            mean, std, extra_mean, extra_std = stats
+        else:
+            f = self.training_dataset.num_features
+            mean, std = np.zeros(f, np.float32), np.ones(f, np.float32)
+            extra_mean, extra_std = np.float32(0.0), np.float32(1.0)
+        self.norm = {
+            "mean": mean, "std": std,
+            "extra_mean": extra_mean, "extra_std": extra_std,
+        }
+
+        # Reference step accounting (neutrino_base.py:47-49): batch_size is
+        # per-device; the global batch is batch_size * mesh size.
+        self.global_batch = options.batch_size * self.num_shards
+        self.steps_per_epoch = len(self.training_dataset) // self.global_batch
+        if self.steps_per_epoch == 0:
+            raise ValueError(
+                f"dataset of {len(self.training_dataset)} events is smaller than "
+                f"the global batch {self.global_batch}"
+            )
+        self.total_steps = self.steps_per_epoch * options.epochs
+
+        batcher_kwargs = dict(
+            batch_size=self.global_batch,
+            num_shards=self.num_shards,
+            prong_bucket_multipliers=options.prong_bucket_multipliers,
+            coo_granularity=options.coo_bucket_granularity,
+            seed=options.seed,
+        )
+        self.train_batcher = Batcher(self.training_dataset, shuffle=True, **batcher_kwargs)
+        self.val_batcher = Batcher(self.validation_dataset, shuffle=False, **batcher_kwargs)
+
+        # ---- model + optimizer ----------------------------------------------
+        self.model_config = ModelConfig.from_options(
+            options,
+            self.training_dataset.num_features,
+            self.training_dataset.num_extra,
+            self.training_dataset.pixel_features,
+            self.training_dataset.num_event_classes,
+            self.training_dataset.num_prong_classes,
+            image_shape=self.training_dataset.pixel_shape,
+            embedder=embedder,
+            axis_name=DATA_AXIS if options.sync_batch_norm else None,
+        )
+        self.model = TransformerCVN(self.model_config)
+        self.schedule = schedules.from_options(options, self.steps_per_epoch)
+        self.tx = create_optimizer(options, self.schedule)
+
+        # ---- state -----------------------------------------------------------
+        example = self._device_batch(
+            self.train_batcher.build_batch(np.arange(self.global_batch))
+        )
+        self.state = jax.device_put(
+            create_train_state(self.model, self.tx, example, self.norm, options.seed),
+            self.state_sharding,
+        )
+        if self.verbose:
+            print(f"Parameters: {param_count(self.state.params):,}")
+            print(f"Mesh: {self.num_shards} device(s); global batch {self.global_batch}")
+
+        # ---- step functions --------------------------------------------------
+        self.train_step = make_train_step(self.model, self.tx, options, self.mesh)
+        self.eval_step = make_eval_step(
+            self.model, options, self.mesh,
+            self.training_dataset.num_event_classes,
+            self.training_dataset.num_prong_classes,
+        )
+        self.predict_step = make_predict_step(self.model, self.mesh)
+
+        # ---- run dir / logging / checkpoints ---------------------------------
+        if run_dir is None and not debug:
+            run_dir = create_run_dir(log_dir or os.getcwd(), name)
+        self.run_dir = run_dir
+        self.logger = MetricLogger(run_dir, enabled=run_dir is not None)
+        self.checkpoints = (
+            CheckpointManager(
+                os.path.join(run_dir, "checkpoints"), top_k=options.checkpoint_top_k
+            )
+            if run_dir is not None
+            else None
+        )
+        if run_dir is not None:
+            options.save(os.path.join(run_dir, "options.json"))
+
+    # -------------------------------------------------------------------------
+
+    def _device_batch(self, batch):
+        return jax.device_put(batch, self.batch_sharding)
+
+    def resume(self, checkpoint_path: Optional[str] = None):
+        """Restore full train state from a checkpoint path or the run dir's
+        latest (the `-c` / auto-resume flow)."""
+        template = jax.device_get(self.state)
+        if checkpoint_path is not None:
+            restored = restore_from_path(checkpoint_path, template)
+        else:
+            restored = self.checkpoints.restore(template)
+        self.state = jax.device_put(restored, self.state_sharding)
+        if self.verbose:
+            print(f"Resumed from step {int(self.state.step)}")
+
+    # -------------------------------------------------------------------------
+
+    def validate(self) -> Dict[str, float]:
+        totals = jax.tree_util.tree_map(
+            np.asarray,
+            init_metric_state(
+                self.training_dataset.num_event_classes,
+                self.training_dataset.num_prong_classes,
+                self.options.auc_bins,
+            ),
+        )
+        for batch in self.val_batcher.prefetch_epoch(0):
+            delta = self.eval_step(self.state, self._device_batch(batch))
+            delta = jax.device_get(delta)
+            totals = jax.tree_util.tree_map(lambda a, b: a + np.asarray(b), totals, delta)
+        return finalize_metrics(totals)
+
+    def _checkpoint(self, metrics: Optional[Dict[str, float]]):
+        if self.checkpoints is None:
+            return
+        metric_value = None if metrics is None else metrics.get("val_epoch_AUC")
+        self.checkpoints.save(
+            jax.device_get(self.state), int(self.state.step), metric_value
+        )
+
+    def fit(
+        self,
+        max_steps: Optional[int] = None,
+        eval_interval: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Run the full training loop; returns the last validation metrics."""
+        options = self.options
+        eval_interval = eval_interval or options.eval_interval
+        limit = max_steps or self.total_steps
+        last_val: Dict[str, float] = {}
+
+        start_step = int(self.state.step)
+        start_epoch = start_step // self.steps_per_epoch
+        step = start_step
+        last_eval_step = -1
+        t_start = time.time()
+        window_start, window_events = time.time(), 0
+
+        for epoch in range(start_epoch, options.epochs):
+            for batch in self.train_batcher.prefetch_epoch(epoch):
+                if step >= limit:
+                    break
+                self.state, metrics = self.train_step(
+                    self.state, self._device_batch(batch)
+                )
+                step += 1
+                window_events += self.global_batch
+
+                if self.logger.enabled and (step % 10 == 0 or step <= 2):
+                    host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    lr = float(options.learning_rate) * float(self.schedule(step))
+                    host["lr-AdamW/pg1"] = lr
+                    elapsed = time.time() - window_start
+                    if elapsed > 0:
+                        host["events_per_second"] = window_events / elapsed
+                    window_start, window_events = time.time(), 0
+                    if not self.verbose:
+                        host.pop("grad_norm", None)
+                    self.logger.log_scalars(host, step)
+
+                if step % eval_interval == 0:
+                    last_val = self.validate()
+                    last_eval_step = step
+                    self.logger.log_scalars(last_val, step)
+                    self._checkpoint(last_val)
+                    if self.verbose:
+                        print(
+                            f"step {step}: val_epoch_AUC="
+                            f"{last_val['val_epoch_AUC']:.4f} "
+                            f"val_epoch_accuracy={last_val['val_epoch_accuracy']:.4f}"
+                        )
+            if step >= limit:
+                break
+
+        # final validation + checkpoint (unless the last step already did it)
+        if step != last_eval_step:
+            last_val = self.validate()
+            self.logger.log_scalars(last_val, step)
+            self._checkpoint(last_val)
+        if self.verbose:
+            print(
+                f"Finished {step - start_step} steps in "
+                f"{time.time() - t_start:.1f}s; "
+                f"val_epoch_AUC={last_val['val_epoch_AUC']:.4f}"
+            )
+        self.logger.flush()
+        return last_val

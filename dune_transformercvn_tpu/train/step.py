@@ -1,0 +1,177 @@
+"""Jitted train / eval steps, shard_mapped over the data-parallel mesh.
+
+One functional step ``(state, batch) -> (state, metrics)`` replaces the
+reference's Lightning training_step + DDP machinery
+(neutrino_full_base_trainer.py:162-192, train.py:123-143):
+
+* the loss is the weighted event/prong focal loss with padding prongs
+  masked via weights (static shapes) instead of boolean indexing;
+* gradients are ``pmean``-reduced over the "data" mesh axis (the ICI
+  collective replacing NCCL bucket all-reduce);
+* the optimizer update runs replicated on every device;
+* per-step RNG is derived by folding the base key with the step counter and
+  the device's mesh position, so each replica draws independent pixel noise
+  and dropout masks (DDP parity);
+* eval accumulates the psum-able metric sufficient statistics of
+  :mod:`metrics` and returns them already reduced.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from ..ops.losses import softmax_focal_loss
+from ..parallel.mesh import DATA_AXIS
+from .metrics import init_metric_state, update_metric_state
+from .state import TrainState
+
+
+def compute_losses(
+    event_logits, prong_logits, event_targets, prong_targets, gamma, event_scale
+):
+    """Weighted event + masked prong focal loss
+    (neutrino_full_base_trainer.py:162-183)."""
+    event_loss = softmax_focal_loss(event_logits, event_targets, gamma)
+
+    Kpr = prong_logits.shape[-1]
+    flat_logits = prong_logits.reshape(-1, Kpr)
+    flat_targets = prong_targets.reshape(-1)
+    weights = (flat_targets >= 0).astype(jnp.float32)
+    prong_loss = softmax_focal_loss(flat_logits, flat_targets, gamma, weights)
+
+    total = event_scale * event_loss + (1.0 - event_scale) * prong_loss
+
+    event_accuracy = jnp.mean(
+        (jnp.argmax(event_logits, -1) == event_targets).astype(jnp.float32)
+    )
+    prong_correct = (jnp.argmax(flat_logits, -1) == flat_targets).astype(jnp.float32)
+    prong_accuracy = jnp.sum(prong_correct * weights) / jnp.maximum(weights.sum(), 1.0)
+
+    return total, {
+        "train_loss": total,
+        "event_loss": event_loss,
+        "prong_loss": prong_loss,
+        "train_event_accuracy": event_accuracy,
+        "train_prong_accuracy": prong_accuracy,
+    }
+
+
+def make_train_step(model, tx, options, mesh):
+    """Build the jitted, shard_mapped training step."""
+    gamma = options.loss_gamma
+    event_scale = options.event_prong_loss_proportion
+    sync_bn = options.sync_batch_norm
+
+    def loss_fn(params, state: TrainState, batch, rngs):
+        (event_logits, prong_logits), updates = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch,
+            state.norm,
+            train=True,
+            rngs=rngs,
+            mutable=["batch_stats"],
+        )
+        total, metrics = compute_losses(
+            event_logits, prong_logits,
+            batch["event_targets"], batch["prong_targets"],
+            gamma, event_scale,
+        )
+        return total, (updates["batch_stats"], metrics)
+
+    def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        device_pos = jax.lax.axis_index(DATA_AXIS)
+        rng = jax.random.fold_in(state.base_rng, state.step)
+        rng = jax.random.fold_in(rng, device_pos)
+        noise_rng, dropout_rng = jax.random.split(rng)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (batch_stats, metrics)), grads = grad_fn(
+            state.params, state, batch, {"noise": noise_rng, "dropout": dropout_rng}
+        )
+
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        grad_norm = optax.global_norm(grads)
+        if not sync_bn:
+            # keep the replicated state consistent even with per-replica stats
+            batch_stats = jax.lax.pmean(batch_stats, DATA_AXIS)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+        metrics = dict(metrics, grad_norm=grad_norm)
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_eval_step(model, options, mesh, num_event_classes, num_prong_classes):
+    """Build the jitted eval step: returns the psum-reduced metric-state
+    delta for one batch; the host accumulates deltas across the epoch."""
+    gamma = options.loss_gamma
+    event_scale = options.event_prong_loss_proportion
+    bins = options.auc_bins
+
+    def step_fn(state: TrainState, batch):
+        event_logits, prong_logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch,
+            state.norm,
+            train=False,
+        )
+        total, _ = compute_losses(
+            event_logits, prong_logits,
+            batch["event_targets"], batch["prong_targets"],
+            gamma, event_scale,
+        )
+        delta = update_metric_state(
+            init_metric_state(num_event_classes, num_prong_classes, bins),
+            event_logits, batch["event_targets"],
+            prong_logits, batch["prong_targets"],
+            total,
+        )
+        return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, DATA_AXIS), delta)
+
+    sharded = jax.shard_map(
+        step_fn, mesh=mesh, in_specs=(P(), P(DATA_AXIS)), out_specs=P()
+    )
+    return jax.jit(sharded)
+
+
+def make_predict_step(model, mesh):
+    """Inference step: per-event softmax scores, gathered across the mesh."""
+
+    def step_fn(state: TrainState, batch):
+        event_logits, prong_logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch,
+            state.norm,
+            train=False,
+        )
+        return (
+            jax.nn.softmax(event_logits, axis=-1),
+            jax.nn.softmax(prong_logits, axis=-1),
+        )
+
+    sharded = jax.shard_map(
+        step_fn, mesh=mesh, in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS)
+    )
+    return jax.jit(sharded)

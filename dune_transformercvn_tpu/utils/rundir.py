@@ -1,0 +1,33 @@
+"""Versioned run directories: ``{log_dir}/{name}/version_{i}``.
+
+Mirrors the TensorBoardLogger convention the reference relies on
+(train.py:103-105, README.md:60): repeated trainings under the same name
+increment the version number, and the resolved ``options.json`` is dumped
+beside the logs so Evaluate/Export can rebuild the exact model.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import List
+
+
+def find_versions(log_dir: str, name: str) -> List[int]:
+    base = os.path.join(log_dir, name)
+    if not os.path.isdir(base):
+        return []
+    versions = []
+    for entry in os.listdir(base):
+        m = re.fullmatch(r"version_(\d+)", entry)
+        if m and os.path.isdir(os.path.join(base, entry)):
+            versions.append(int(m.group(1)))
+    return sorted(versions)
+
+
+def create_run_dir(log_dir: str, name: str) -> str:
+    versions = find_versions(log_dir, name)
+    version = (versions[-1] + 1) if versions else 0
+    path = os.path.join(log_dir, name, f"version_{version}")
+    os.makedirs(path, exist_ok=True)
+    return path
