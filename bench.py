@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark: inference throughput of the flagship dense TransformerCVN.
+
+Protocol mirrors the only published reference number (BASELINE.md): the
+Evaluate.ipynb inference loop ran the production dense network at batch 16
+on a Fermilab EAF GPU node at 2.70 it/s ~= 43.2 events/s.  This benchmark
+runs the same network shape (option_files/fdhd_beam_2018prod_2023_08_07.json:
+DenseNet [3,6,12,6,3] growth 32, hidden 128, 6 encoder layers) on one TPU
+chip, batch 16 events, bfloat16 compute, and reports events/second.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_EVENTS_PER_SECOND = 43.2  # Evaluate.ipynb cell 14: 2.70 it/s @ batch 16
+
+
+def main():
+    import jax
+
+    from dune_transformercvn_tpu.config import Options
+    from __graft_entry__ import _synthetic_setup
+
+    options = Options.load(
+        os.path.join(os.path.dirname(__file__), "option_files",
+                     "fdhd_beam_2018prod_2023_08_07.json")
+    )
+    options.batch_size = 16
+    options.compute_dtype = "bfloat16"
+    options.coo_bucket_granularity = 8192
+
+    dataset, batcher, cfg, model, norm = _synthetic_setup(
+        options, num_events=192, embedder="dense"
+    )
+    import jax.numpy as jnp
+
+    norm = {k: jnp.asarray(v) for k, v in norm.items()}
+
+    # Pre-build a handful of batches host-side (batch assembly overlaps with
+    # device compute in production; here we isolate device throughput the same
+    # way the reference's tqdm measured the CUDA loop with prefetched workers).
+    batches = [
+        {k: jnp.asarray(v) for k, v in batcher.build_batch(idx).items()}
+        for idx in (np.arange(16) + 16 * i for i in range(8))
+    ]
+
+    variables = jax.jit(lambda r, b, n: model.init(r, b, n, train=False))(
+        jax.random.PRNGKey(0), batches[0], norm
+    )
+
+    @jax.jit
+    def predict(variables, batch, norm):
+        ev, pr = model.apply(variables, batch, norm, train=False)
+        return jax.nn.softmax(ev, -1), jax.nn.softmax(pr, -1)
+
+    # Warm up every batch-shape specialization.
+    for b in batches:
+        jax.block_until_ready(predict(variables, b, norm))
+
+    # Timed loop.
+    rounds = 6
+    start = time.perf_counter()
+    for _ in range(rounds):
+        for b in batches:
+            out = predict(variables, b, norm)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    events = rounds * len(batches) * options.batch_size
+    eps = events / elapsed
+
+    print(json.dumps({
+        "metric": "inference_events_per_second",
+        "value": round(eps, 2),
+        "unit": "events/s (batch 16, dense prod config, 1 chip)",
+        "vs_baseline": round(eps / BASELINE_EVENTS_PER_SECOND, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
