@@ -180,6 +180,54 @@ class Trainer:
             totals = jax.tree_util.tree_map(lambda a, b: a + np.asarray(b), totals, delta)
         return finalize_metrics(totals)
 
+    def predict_split(self, split: str = "validation"):
+        """Batched inference over a split (the Evaluate.ipynb cell-14 loop).
+
+        Returns event probabilities/targets for every event and prong
+        probabilities/targets for every *real* prong, plus each prong's
+        owning event index.
+        """
+        dataset = {
+            "training": self.training_dataset,
+            "validation": self.validation_dataset,
+            "testing": self.testing_dataset,
+        }[split]
+        if dataset is None:
+            raise ValueError(f"no {split} dataset configured")
+
+        batcher = Batcher(
+            dataset,
+            batch_size=self.global_batch,
+            num_shards=self.num_shards,
+            prong_bucket_multipliers=self.options.prong_bucket_multipliers,
+            coo_granularity=self.options.coo_bucket_granularity,
+            drop_last=False,  # wrap-padded final batch, trimmed below
+        )
+        ev_probs, ev_targets = [], []
+        pr_probs, pr_targets, pr_event = [], [], []
+        seen = 0
+        for batch in batcher.prefetch_epoch(0):
+            probs_e, probs_p = jax.device_get(
+                self.predict_step(self.state, self._device_batch(batch))
+            )
+            take = min(self.global_batch, len(dataset) - seen)
+            mask = batch["prong_targets"][:take] >= 0
+            ev_probs.append(probs_e[:take])
+            ev_targets.append(batch["event_targets"][:take])
+            pr_probs.append(probs_p[:take][mask])
+            pr_targets.append(batch["prong_targets"][:take][mask])
+            rows = np.nonzero(mask)[0] + seen
+            pr_event.append(rows)
+            seen += take
+
+        return {
+            "event_probabilities": np.concatenate(ev_probs),
+            "event_targets": np.concatenate(ev_targets),
+            "prong_probabilities": np.concatenate(pr_probs),
+            "prong_targets": np.concatenate(pr_targets),
+            "prong_event_index": np.concatenate(pr_event),
+        }
+
     def _checkpoint(self, metrics: Optional[Dict[str, float]]):
         if self.checkpoints is None:
             return
