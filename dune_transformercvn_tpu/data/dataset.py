@@ -91,17 +91,20 @@ class EventDataset:
         max_prong_index = int(self.prong_compressed_index[-1, -1])
 
         if load_full_dataset:
-            self.event_pixels_coordinates = np.asarray(
-                file["event_pixels_coordinates"][self.min_event_index:max_event_index]
+            # int64/float32 contiguous so the native CSR gather is zero-copy
+            self.event_pixels_coordinates = np.ascontiguousarray(
+                file["event_pixels_coordinates"][self.min_event_index:max_event_index],
+                dtype=np.int64,
             )
-            self.event_pixels_values = np.asarray(
+            self.event_pixels_values = np.ascontiguousarray(
                 values_dset("event")[self.min_event_index:max_event_index],
                 dtype=np.float32,
             )
-            self.prong_pixels_coordinates = np.asarray(
-                file["prong_pixels_coordinates"][self.min_prong_index:max_prong_index]
+            self.prong_pixels_coordinates = np.ascontiguousarray(
+                file["prong_pixels_coordinates"][self.min_prong_index:max_prong_index],
+                dtype=np.int64,
             )
-            self.prong_pixels_values = np.asarray(
+            self.prong_pixels_values = np.ascontiguousarray(
                 values_dset("prong")[self.min_prong_index:max_prong_index],
                 dtype=np.float32,
             )
@@ -192,6 +195,16 @@ class EventDataset:
             pr_ranges = pr_ranges
 
         def slice_bank(coords, values, ranges):
+            if self.load_full_dataset:
+                # native C++ batched CSR gather (zero-copy over the RAM banks)
+                try:
+                    from ..utils.native import native_gather_ranges
+
+                    native = native_gather_ranges(ranges, coords, values)
+                    if native is not None:
+                        return native
+                except ImportError:
+                    pass
             parts_c, parts_v, owners = [], [], []
             for row, (lo, hi) in enumerate(ranges):
                 lo, hi = int(lo), int(hi)

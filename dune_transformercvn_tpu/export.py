@@ -1,0 +1,198 @@
+"""StableHLO export: the compiled-inference hook for the C++ LArSoft module.
+
+The reference exports three TorchScript graphs (CreateCompiled.ipynb cells
+6-14), each taking ONE tensor ``[(1+Npng), 3, 400, 280]`` of raw pixel
+counts, with dummy features/extra/masks synthesized inside the graph and the
+10-class event output folded to 4 via ``[sum 0:4, sum 4:8, 8, 9]``:
+
+* ``pid``       -> (event softmax [4], prong softmax [Npng, 8])
+* ``embeddings``-> (event vector [128], prong vectors [Npng, 128])
+* ``combined``  -> all four
+
+The TPU-native replacement serializes the same three graphs through
+``jax.export`` (StableHLO).  TPUs want static shapes, so the exported graphs
+take the padded maximum ``[1 + max_prongs, C, H, W]`` plus a scalar
+``num_prongs``; rows past ``num_prongs`` are masked inside the graph and the
+caller reads the first ``num_prongs`` output rows.  The C++ side loads the
+artifact through the PJRT C API (native/pjrt_loader.cc); Python can round-
+trip it with ``jax.export.deserialize`` (used by the tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.network import ModelConfig, TransformerCVN
+
+VARIANTS = ("pid", "embeddings", "combined")
+
+
+def _fold_event_probs(probs: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """Fold detailed 10-class softmax onto the 4 current classes
+    (CreateCompiled.ipynb cell 6: [sum 0:4, sum 4:8, 8, 9])."""
+    if num_classes != 10:
+        return probs
+    return jnp.stack(
+        [
+            probs[..., 0:4].sum(-1),
+            probs[..., 4:8].sum(-1),
+            probs[..., 8],
+            probs[..., 9],
+        ],
+        axis=-1,
+    )
+
+
+def build_inference_fn(model: TransformerCVN, variant: str):
+    """One-event inference graph over raw pixel maps.
+
+    Signature: (variables, norm, pixel_maps [1+P, C, H, W] raw counts,
+    num_prongs scalar int32) -> variant-dependent tuple.
+    """
+    cfg = model.cfg
+    max_prongs = cfg.max_prongs
+
+    def fn(variables, norm, pixel_maps, num_prongs):
+        # NCHW (the LArSoft convention) -> NHWC, preprocess without noise
+        images = jnp.transpose(pixel_maps, (0, 2, 3, 1)).astype(jnp.float32)
+        images = jnp.log1p(images) if cfg.log_pixels else images / 255.0
+        images = images.astype(cfg.dtype)
+
+        event_images = images[:1]
+        prong_images = images[1:]
+
+        prong_ids = jnp.arange(max_prongs, dtype=jnp.int32)
+        real = prong_ids < num_prongs
+        # zero out padding rows so BatchNorm masking has nothing to leak
+        prong_images = prong_images * real[:, None, None, None].astype(images.dtype)
+
+        # dummy reco features/extra (cell 6 synthesizes zeros + ones masks)
+        features = jnp.zeros((1, max_prongs, cfg.features_dim), jnp.float32)
+        extra = jnp.zeros((1, cfg.extra_dim), jnp.float32)
+        prong_mask = real[None, :]
+        slot_batch = jnp.where(real, 0, 1).astype(jnp.int32)   # 1 == OOB pad
+        slot_pos = prong_ids
+        slot_mask = real
+
+        event_logits, prong_logits, event_hidden, prong_hidden = model.apply(
+            variables,
+            event_images, prong_images, features, extra, prong_mask,
+            slot_batch, slot_pos, slot_mask, norm, False,
+            method=TransformerCVN.forward_from_images,
+        )
+
+        event_probs = jax.nn.softmax(event_logits[0], axis=-1)
+        event_probs = _fold_event_probs(event_probs, cfg.num_event_classes)
+        prong_probs = jax.nn.softmax(prong_logits[0], axis=-1)
+
+        if variant == "pid":
+            return event_probs, prong_probs
+        if variant == "embeddings":
+            return event_hidden[0], prong_hidden[0]
+        return event_probs, prong_probs, event_hidden[0], prong_hidden[0]
+
+    return fn
+
+
+def export_model(
+    model: TransformerCVN,
+    variables,
+    norm,
+    output_dir: str,
+    prefix: str = "transformercvn",
+) -> Dict[str, str]:
+    """Serialize the three inference graphs; returns {variant: path}."""
+    cfg = model.cfg
+    os.makedirs(output_dir, exist_ok=True)
+
+    pixel_shape = (1 + cfg.max_prongs, cfg.pixel_channels,
+                   cfg.image_height, cfg.image_width)
+    example_pixels = jnp.zeros(pixel_shape, jnp.float32)
+    example_n = jnp.asarray(3, jnp.int32)
+    norm = {k: jnp.asarray(v) for k, v in norm.items()}
+
+    paths = {}
+    for variant in VARIANTS:
+        fn = build_inference_fn(model, variant)
+        closed = lambda pixels, n, _fn=fn: _fn(variables, norm, pixels, n)
+        exported = jax.export.export(jax.jit(closed))(example_pixels, example_n)
+        path = os.path.join(output_dir, f"{prefix}_{variant}.stablehlo")
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+        paths[variant] = path
+
+    with open(os.path.join(output_dir, f"{prefix}_export_meta.json"), "w") as f:
+        json.dump(
+            {
+                "input_shape": list(pixel_shape),
+                "max_prongs": cfg.max_prongs,
+                "num_event_classes_folded": 4,
+                "num_prong_classes": cfg.num_prong_classes,
+                "hidden_dim": cfg.hidden_dim,
+                "variants": {
+                    "pid": "event softmax [4], prong softmax [max_prongs, Kpr]",
+                    "embeddings": "event vector [D], prong vectors [max_prongs, D]",
+                    "combined": "pid outputs + embeddings outputs",
+                },
+                "calling_convention": (
+                    "pad prong maps to max_prongs rows, pass real count as "
+                    "num_prongs; read the first num_prongs output rows"
+                ),
+            },
+            f, indent=2,
+        )
+    return paths
+
+
+def load_exported(path: str):
+    """Round-trip loader (Python side): returns a callable (pixels, n)."""
+    with open(path, "rb") as f:
+        exported = jax.export.deserialize(f.read())
+    return exported.call
+
+
+def export_run_dir(run_dir: str, output_dir=None, checkpoint: str = "best",
+                   embedder: str = "dense") -> Dict[str, str]:
+    """The CreateCompiled flow: run dir -> three serialized graphs."""
+    from .config import Options
+    from .train import Trainer
+    from .train.checkpoint import CheckpointManager
+
+    options = Options.load(os.path.join(run_dir, "options.json"))
+    trainer = Trainer(options, embedder=embedder, run_dir=None, debug=True,
+                      verbose=False)
+
+    mgr = CheckpointManager(os.path.join(run_dir, "checkpoints"),
+                            top_k=options.checkpoint_top_k)
+    step = mgr.best_step() if checkpoint == "best" else mgr.latest_step()
+    state = mgr.restore(jax.device_get(trainer.state), step)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    output_dir = output_dir or os.path.join(run_dir, "export")
+    return export_model(trainer.model, variables, state.norm, output_dir)
+
+
+def main():  # pragma: no cover
+    from argparse import ArgumentParser
+
+    parser = ArgumentParser(description=__doc__)
+    parser.add_argument("run_dir")
+    parser.add_argument("--output_dir", default=None)
+    parser.add_argument("--checkpoint", default="best", choices=["best", "last"])
+    parser.add_argument("--sdxl", action="store_true")
+    parser.add_argument("--sparse", action="store_true")
+    args = parser.parse_args()
+    embedder = "sparse" if args.sparse else ("sdxl" if args.sdxl else "dense")
+    paths = export_run_dir(args.run_dir, args.output_dir, args.checkpoint, embedder)
+    for variant, path in paths.items():
+        print(f"{variant}: {path}")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

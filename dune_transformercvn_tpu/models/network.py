@@ -196,7 +196,6 @@ class TransformerCVN(nn.Module):
             values = values * (1.0 + noise * cfg.pixel_noise_std)
         return values.astype(cfg.dtype)
 
-    @nn.compact
     def __call__(
         self,
         batch,
@@ -215,8 +214,6 @@ class TransformerCVN(nn.Module):
         B = batch["features"].shape[0]
         P = batch["slot_batch"].shape[0]
         H, W = cfg.image_height, cfg.image_width
-        prong_mask = batch["prong_mask"]
-        slot_mask = batch["slot_mask"]
 
         # ---- densify pixel maps (static scatter-add, padding dropped) -------
         event_images = densify_images(
@@ -230,6 +227,45 @@ class TransformerCVN(nn.Module):
             batch["prong_owner"], P, H, W,
         )
 
+        event_logits, prong_logits, _, _ = self.forward_from_images(
+            event_images,
+            prong_images,
+            batch["features"],
+            batch["extra"],
+            batch["prong_mask"],
+            batch["slot_batch"],
+            batch["slot_pos"],
+            batch["slot_mask"],
+            norm,
+            train,
+        )
+        return event_logits, prong_logits
+
+    @nn.compact
+    def forward_from_images(
+        self,
+        event_images,   # [B, H, W, C] preprocessed NHWC
+        prong_images,   # [P, H, W, C] preprocessed NHWC (packed slots)
+        features,       # [B, max_prongs, F]
+        extra,          # [B, E]
+        prong_mask,     # [B, max_prongs] bool
+        slot_batch,     # [P]
+        slot_pos,       # [P]
+        slot_mask,      # [P] bool
+        norm,
+        train: bool = False,
+    ):
+        """Image-level forward; also the export entry point
+        (CreateCompiled.ipynb wrappers feed dense images directly).
+
+        Returns float32 (event_logits, prong_logits, event_hidden [B, D],
+        prong_hidden [B, max_prongs, D]) — the hidden pair being the
+        transformer representations the `embeddings` export exposes.
+        """
+        cfg = self.cfg
+        B = features.shape[0]
+        P = slot_batch.shape[0]
+
         # ---- pixel CNNs ------------------------------------------------------
         event_pixel_dim = cfg.pixel_embedding_dim + cfg.feature_embedding_dim
         event_cnn = create_pixel_embedder(cfg, event_pixel_dim, "event_pixel_embedding")
@@ -239,9 +275,9 @@ class TransformerCVN(nn.Module):
         prong_pixel_emb = prong_cnn(prong_images, slot_mask, train)      # [P, pix]
 
         # ---- packed prong reco features -------------------------------------
-        packed_features = pack_rows(batch["features"], batch["slot_batch"], batch["slot_pos"])
+        packed_features = pack_rows(features, slot_batch, slot_pos)
         packed_features = (packed_features - norm["mean"]) / norm["std"]
-        packed_extra = batch["extra"][jnp.clip(batch["slot_batch"], 0, B - 1)]
+        packed_extra = extra[jnp.clip(slot_batch, 0, B - 1)]
         packed_extra = (packed_extra - norm["extra_mean"]) / norm["extra_std"]
 
         feature_emb = FeatureEmbedding(
@@ -302,9 +338,7 @@ class TransformerCVN(nn.Module):
         )(combined, combined_mask, train)
 
         event_hidden = combined[:B]
-        prong_hidden = pad_rows(
-            combined[B:], batch["slot_batch"], batch["slot_pos"], B, cfg.max_prongs
-        )
+        prong_hidden = pad_rows(combined[B:], slot_batch, slot_pos, B, cfg.max_prongs)
 
         # ---- sequence assembly + shared transformer --------------------------
         sequence = jnp.concatenate([event_hidden[:, None, :], prong_hidden], axis=1)
@@ -338,4 +372,9 @@ class TransformerCVN(nn.Module):
             name="prong_decoder",
         )(hidden[:, 1:], prong_mask.astype(bool), train)
 
-        return event_logits.astype(jnp.float32), prong_logits.astype(jnp.float32)
+        return (
+            event_logits.astype(jnp.float32),
+            prong_logits.astype(jnp.float32),
+            hidden[:, 0].astype(jnp.float32),
+            hidden[:, 1:].astype(jnp.float32),
+        )

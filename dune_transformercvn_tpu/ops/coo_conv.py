@@ -1,0 +1,142 @@
+"""True COO gather/scatter sparse convolution with host-built kernel maps.
+
+This is the literal MinkowskiEngine execution strategy (coordinate manager +
+per-offset in/out maps + gather-matmul-scatter), provided for the genuinely
+low-occupancy regime (e.g. a sparse stem over ~10^2-10^3 hits of 112k pixels)
+and as an independent cross-check of the occupancy-masked dense engine in
+ops/sparse.py — the two must agree exactly on the same weights.
+
+Host side (:func:`build_conv_maps`): enumerate the expanded output
+coordinate set and, for each of the k*k kernel offsets, the (input row,
+output row) pairs it connects — ME's "kernel map".  The builder prefers the
+native C++ engine (native/coo_engine.cpp via ctypes, ~30x faster than
+numpy's dictionary hashing) and falls back to a pure-numpy implementation.
+Maps are padded to static bucket sizes.
+
+Device side (:func:`coo_conv_apply`): one jitted loop over kernel offsets —
+``out[out_map[j]] += in[in_map[j]] @ W[j]`` with drop-mode padding; each
+offset is a single [pairs, C_in] x [C_in, C_out] matmul on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ConvMaps(NamedTuple):
+    out_coords: np.ndarray   # [M, 3] (owner, x, y) of output sites
+    num_out: int             # real output sites (rest is padding)
+    in_maps: np.ndarray      # [k*k, L] input row per pair (pad: N_in)
+    out_maps: np.ndarray     # [k*k, L] output row per pair (pad: M)
+
+
+def _pack_key(owner: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    # grids are 400x280; 2^20 per axis is comfortably collision-free
+    return (owner.astype(np.int64) << 40) | (x.astype(np.int64) << 20) | y.astype(np.int64)
+
+
+def build_conv_maps_numpy(
+    coords: np.ndarray,   # [N, 3] int (owner, x, y), unique sites
+    kernel: int,
+    stride: int,
+    height: int,
+    width: int,
+    pad_to: int = 0,
+) -> ConvMaps:
+    """Numpy fallback kernel-map builder (ME coordinate-manager equivalent)."""
+    owner, x, y = coords[:, 0], coords[:, 1], coords[:, 2]
+    # Dense-engine correspondence: out[o] = sum_j in[o*s - lo + j] W[j]
+    # with lo = k//2 (odd kernels, centered) or 0 (even kernels), so input i
+    # feeds output i + lo - j through weight index j.
+    lo = kernel // 2 if kernel % 2 == 1 else 0
+
+    # --- output coordinate set: kernel-dilation of the input, stride-snapped
+    cand_owner, cand_x, cand_y, cand_in, cand_off = [], [], [], [], []
+    in_rows = np.arange(len(coords))
+    for j in range(kernel * kernel):
+        dx, dy = lo - j // kernel, lo - j % kernel
+        ox, oy = x + dx, y + dy
+        valid = (ox >= 0) & (ox < height) & (oy >= 0) & (oy < width)
+        if stride > 1:
+            valid &= (ox % stride == 0) & (oy % stride == 0)
+        cand_owner.append(owner[valid])
+        cand_x.append(ox[valid])
+        cand_y.append(oy[valid])
+        cand_in.append(in_rows[valid])
+        cand_off.append(np.full(valid.sum(), j, np.int64))
+
+    all_owner = np.concatenate(cand_owner)
+    all_x = np.concatenate(cand_x)
+    all_y = np.concatenate(cand_y)
+    all_in = np.concatenate(cand_in)
+    all_off = np.concatenate(cand_off)
+
+    keys = _pack_key(all_owner, all_x, all_y)
+    unique_keys, inverse = np.unique(keys, return_inverse=True)
+    num_out = len(unique_keys)
+    out_coords = np.stack(
+        [unique_keys >> 40, (unique_keys >> 20) & 0xFFFFF, unique_keys & 0xFFFFF],
+        axis=1,
+    ).astype(np.int64)
+    if stride > 1:
+        out_coords[:, 1] //= stride
+        out_coords[:, 2] //= stride
+
+    # --- per-offset pair lists, padded to a common static length
+    pair_counts = np.bincount(all_off, minlength=kernel * kernel)
+    L = int(pair_counts.max()) if len(all_off) else 1
+    if pad_to:
+        L = max(L, pad_to)
+    in_maps = np.full((kernel * kernel, L), len(coords), np.int32)
+    out_maps = np.full((kernel * kernel, L), num_out, np.int32)
+    for j in range(kernel * kernel):
+        sel = all_off == j
+        n = int(sel.sum())
+        in_maps[j, :n] = all_in[sel]
+        out_maps[j, :n] = inverse[sel]
+
+    M = num_out if not pad_to else max(num_out, pad_to)
+    return ConvMaps(out_coords, num_out, in_maps, out_maps)
+
+
+def build_conv_maps(coords, kernel, stride, height, width, pad_to=0) -> ConvMaps:
+    """Kernel-map builder: native C++ engine when available, numpy otherwise."""
+    try:
+        from ..utils.native import native_build_conv_maps
+
+        result = native_build_conv_maps(coords, kernel, stride, height, width, pad_to)
+        if result is not None:
+            return ConvMaps(*result)
+    except ImportError:
+        pass
+    return build_conv_maps_numpy(coords, kernel, stride, height, width, pad_to)
+
+
+def coo_conv_apply(
+    features: jnp.ndarray,        # [N, C_in] (row N used as gather pad target)
+    kernel_weights: jnp.ndarray,  # [k, k, C_in, C_out]
+    in_maps: jnp.ndarray,         # [k*k, L]
+    out_maps: jnp.ndarray,        # [k*k, L]
+    num_out: int,
+) -> jnp.ndarray:
+    """Gather-matmul-scatter over kernel offsets; returns [num_out, C_out]."""
+    k = kernel_weights.shape[0]
+    c_out = kernel_weights.shape[-1]
+    w = kernel_weights.reshape(k * k, kernel_weights.shape[2], c_out)
+
+    # pad row of zeros so padded in_map entries gather zeros
+    padded = jnp.concatenate(
+        [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0
+    )
+
+    def body(j, out):
+        gathered = padded[jnp.clip(in_maps[j], 0, padded.shape[0] - 1)]
+        contrib = gathered @ w[j].astype(gathered.dtype)
+        return out.at[out_maps[j]].add(contrib, mode="drop")
+
+    out = jnp.zeros((num_out, c_out), features.dtype)
+    return jax.lax.fori_loop(0, k * k, body, out)

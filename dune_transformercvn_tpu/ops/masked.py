@@ -65,7 +65,8 @@ class MaskedBatchNorm(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         use_running_average: bool = False,
     ) -> jnp.ndarray:
-        """``x``: [N, ..., C]; ``mask``: [N] boolean (None = all real)."""
+        """``x``: [N, ..., C]; ``mask``: None (all real), [N] per-sample, or
+        [N, *spatial] per-site (the sparse-grid occupancy case)."""
         dtype = x.dtype
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((self.channels,), jnp.float32)
@@ -87,9 +88,12 @@ class MaskedBatchNorm(nn.Module):
                 total_sq = jnp.sum(jnp.square(xf), axis=reduce_axes)
             else:
                 w = mask.astype(jnp.float32).reshape(
-                    (x.shape[0],) + (1,) * (x.ndim - 1)
+                    mask.shape + (1,) * (x.ndim - mask.ndim)
                 )
-                spatial = jnp.prod(jnp.asarray(x.shape[1:-1])) if x.ndim > 2 else 1
+                # unmasked axes between the mask's and the channel axis
+                spatial = 1
+                for dim in x.shape[mask.ndim:-1]:
+                    spatial *= dim
                 count = jnp.sum(w) * spatial
                 total = jnp.sum(xf * w, axis=reduce_axes)
                 total_sq = jnp.sum(jnp.square(xf) * w, axis=reduce_axes)

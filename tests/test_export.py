@@ -1,0 +1,114 @@
+"""Export tests: StableHLO round-trip parity with the jitted model."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dune_transformercvn_tpu.config import Options
+from dune_transformercvn_tpu.export import (
+    VARIANTS,
+    _fold_event_probs,
+    build_inference_fn,
+    export_model,
+    load_exported,
+)
+from dune_transformercvn_tpu.models import ModelConfig, TransformerCVN
+
+
+def test_fold_event_probs():
+    probs = jnp.asarray(np.arange(10, dtype=np.float32) / 45.0)
+    folded = np.asarray(_fold_event_probs(probs, 10))
+    np.testing.assert_allclose(
+        folded, [(0 + 1 + 2 + 3) / 45, (4 + 5 + 6 + 7) / 45, 8 / 45, 9 / 45]
+    )
+    # 4-class output passes through untouched
+    p4 = jnp.asarray([0.1, 0.2, 0.3, 0.4])
+    np.testing.assert_allclose(np.asarray(_fold_event_probs(p4, 4)), np.asarray(p4))
+
+
+@pytest.fixture(scope="module")
+def tiny_export_model():
+    o = Options()
+    o.densenet_structure = [1]
+    o.densenet_growth_rate = 8
+    o.initial_pixel_dim = 8
+    o.pixel_embedding_dim = 16
+    o.feature_embedding_dim = 8
+    o.position_embedding_dim = 8
+    o.hidden_dim = 32
+    o.num_encoder_layers = 1
+    o.num_attention_heads = 4
+    o.compute_dtype = "float32"
+    cfg = ModelConfig.from_options(
+        o, features_dim=5, extra_dim=3, pixel_channels=3,
+        num_event_classes=10, num_prong_classes=8,
+        image_shape=(64, 48),
+    )
+    model = TransformerCVN(cfg)
+
+    rng = np.random.default_rng(0)
+    pixels = (rng.uniform(size=(21, 3, 64, 48)) < 0.02).astype(np.float32) * 128
+    pixels = jnp.asarray(pixels)
+    norm = {
+        "mean": jnp.zeros(5), "std": jnp.ones(5),
+        "extra_mean": jnp.asarray(0.0), "extra_std": jnp.asarray(1.0),
+    }
+    fn = build_inference_fn(model, "combined")
+    variables = jax.jit(
+        lambda p, n: model.init(
+            jax.random.PRNGKey(0),
+            jnp.transpose(p[:1], (0, 2, 3, 1)),
+            jnp.transpose(p[1:], (0, 2, 3, 1)),
+            jnp.zeros((1, 20, 5)), jnp.zeros((1, 3)),
+            jnp.ones((1, 20), bool),
+            jnp.zeros(20, jnp.int32), jnp.arange(20, dtype=jnp.int32),
+            jnp.ones(20, bool), n, False,
+            method=TransformerCVN.forward_from_images,
+        )
+    )(pixels, norm)
+    return model, variables, norm, pixels
+
+
+def test_inference_fn_outputs(tiny_export_model):
+    model, variables, norm, pixels = tiny_export_model
+    for variant, sizes in (("pid", 2), ("embeddings", 2), ("combined", 4)):
+        fn = build_inference_fn(model, variant)
+        out = jax.jit(fn)(variables, norm, pixels, jnp.asarray(5, jnp.int32))
+        assert len(out) == sizes
+    fn = build_inference_fn(model, "combined")
+    ev_p, pr_p, ev_h, pr_h = jax.jit(fn)(
+        variables, norm, pixels, jnp.asarray(5, jnp.int32)
+    )
+    assert ev_p.shape == (4,)          # 10 -> 4 folded
+    np.testing.assert_allclose(float(ev_p.sum()), 1.0, rtol=1e-5)
+    assert pr_p.shape == (20, 8)
+    assert ev_h.shape == (32,) and pr_h.shape == (20, 32)
+
+
+def test_num_prongs_masks_padding(tiny_export_model):
+    """Garbage in the padded prong rows must not change the outputs."""
+    model, variables, norm, pixels = tiny_export_model
+    fn = jax.jit(build_inference_fn(model, "pid"))
+    n = jnp.asarray(4, jnp.int32)
+    ev0, pr0 = fn(variables, norm, pixels, n)
+    poisoned = pixels.at[1 + 4:].set(255.0)  # rows past num_prongs
+    ev1, pr1 = fn(variables, norm, poisoned, n)
+    np.testing.assert_allclose(np.asarray(ev0), np.asarray(ev1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pr0[:4]), np.asarray(pr1[:4]), atol=1e-5)
+
+
+def test_export_round_trip(tiny_export_model, tmp_path):
+    model, variables, norm, pixels = tiny_export_model
+    paths = export_model(model, variables, norm, str(tmp_path), prefix="tiny")
+    assert set(paths) == set(VARIANTS)
+    assert os.path.exists(str(tmp_path / "tiny_export_meta.json"))
+
+    n = jnp.asarray(7, jnp.int32)
+    direct = jax.jit(build_inference_fn(model, "pid"))(variables, norm, pixels, n)
+    loaded = load_exported(paths["pid"])
+    restored = loaded(pixels, n)
+    for a, b in zip(direct, restored):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
