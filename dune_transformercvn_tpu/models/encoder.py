@@ -32,7 +32,13 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, attention_mask=None, train: bool = False):
-        act = nn.gelu if self.activation == "gelu" else nn.relu
+        # exact (erf) gelu: torch's TransformerEncoderLayer default, vs
+        # flax's tanh approximation — parity requires the exact form
+        act = (
+            (lambda x: nn.gelu(x, approximate=False))
+            if self.activation == "gelu"
+            else nn.relu
+        )
         deterministic = not train
 
         def attn_block(h):
