@@ -43,10 +43,15 @@ class Trainer:
         run_dir: Optional[str] = None,
         debug: bool = False,
         verbose: Optional[bool] = None,
+        callbacks=None,
     ):
         self.options = options
         self.debug = debug
         self.verbose = options.verbose_output if verbose is None else verbose
+        # Validation callbacks fn(step, metrics) — the HPO reporting hook
+        # (reference SHERPA pattern: send the epoch objective per validation,
+        # network/sherpa/*.py); any tuner can subscribe here.
+        self.callbacks = list(callbacks or [])
 
         # ---- mesh ------------------------------------------------------------
         self.mesh = create_mesh(options.num_gpu)
@@ -119,6 +124,9 @@ class Trainer:
             self.state_sharding,
         )
         if self.verbose:
+            from ..utils.summary import summarize_params
+
+            print(summarize_params(self.state.params, max_depth=2))
             print(f"Parameters: {param_count(self.state.params):,}")
             print(f"Mesh: {self.num_shards} device(s); global batch {self.global_batch}")
 
@@ -240,12 +248,22 @@ class Trainer:
         self,
         max_steps: Optional[int] = None,
         eval_interval: Optional[int] = None,
+        profile: bool = False,
     ) -> Dict[str, float]:
-        """Run the full training loop; returns the last validation metrics."""
+        """Run the full training loop; returns the last validation metrics.
+
+        ``profile=True`` captures a ``jax.profiler`` device trace of steps
+        ~11-15 into ``<run_dir>/profile`` (viewable in TensorBoard /
+        Perfetto) — the tracing hook from SURVEY §5.
+        """
         options = self.options
         eval_interval = eval_interval or options.eval_interval
         limit = max_steps or self.total_steps
         last_val: Dict[str, float] = {}
+        profile_dir = (
+            os.path.join(self.run_dir or os.getcwd(), "profile") if profile else None
+        )
+        profiling = False
 
         start_step = int(self.state.step)
         start_epoch = start_step // self.steps_per_epoch
@@ -258,11 +276,20 @@ class Trainer:
             for batch in self.train_batcher.prefetch_epoch(epoch):
                 if step >= limit:
                     break
+                if profile_dir is not None and step - start_step == 10:
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
                 self.state, metrics = self.train_step(
                     self.state, self._device_batch(batch)
                 )
                 step += 1
                 window_events += self.global_batch
+                if profiling and step - start_step >= 15:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    if self.verbose:
+                        print(f"Profiler trace written to {profile_dir}")
 
                 if self.logger.enabled and (step % 10 == 0 or step <= 2):
                     host = {k: float(v) for k, v in jax.device_get(metrics).items()}
@@ -281,6 +308,8 @@ class Trainer:
                     last_eval_step = step
                     self.logger.log_scalars(last_val, step)
                     self._checkpoint(last_val)
+                    for callback in self.callbacks:
+                        callback(step, last_val)
                     if self.verbose:
                         print(
                             f"step {step}: val_epoch_AUC="
@@ -290,11 +319,16 @@ class Trainer:
             if step >= limit:
                 break
 
+        if profiling:  # trace still open (run shorter than 15 steps)
+            jax.profiler.stop_trace()
+
         # final validation + checkpoint (unless the last step already did it)
         if step != last_eval_step:
             last_val = self.validate()
             self.logger.log_scalars(last_val, step)
             self._checkpoint(last_val)
+            for callback in self.callbacks:
+                callback(step, last_val)
         if self.verbose:
             print(
                 f"Finished {step - start_step} steps in "

@@ -38,6 +38,9 @@ def main(
     sparse: bool,
     sdxl: bool,
     max_steps: Optional[int] = None,
+    profile: bool = False,
+    debug_nans: bool = False,
+    auto_resume: bool = False,
     **kwargs,
 ):
     from dune_transformercvn_tpu.config import Options
@@ -73,26 +76,48 @@ def main(
 
     import jax
 
+    if debug_nans:
+        # NaN-trapping debug mode (SURVEY §5 sanitizer equivalent):
+        # aborts with a traceback at the first NaN-producing op.
+        jax.config.update("jax_debug_nans", True)
+
     if jax.process_index() == 0:
         options.display()
 
     from dune_transformercvn_tpu.train import Trainer
+
+    run_dir = None
+    if auto_resume:
+        # Preemption recovery: continue the newest version dir that already
+        # has checkpoints instead of starting version_N+1.
+        from dune_transformercvn_tpu.utils.rundir import find_versions
+
+        base = log_dir or os.getcwd()
+        for version in reversed(find_versions(base, name)):
+            candidate = os.path.join(base, name, f"version_{version}")
+            if os.path.exists(os.path.join(candidate, "checkpoints", "index.json")):
+                run_dir = candidate
+                print(f"Auto-resuming in {run_dir}")
+                break
 
     trainer = Trainer(
         options,
         embedder=embedder,
         name=name,
         log_dir=log_dir,
+        run_dir=run_dir,
         debug=debug,
         verbose=verbose or options.verbose_output,
     )
     if checkpoint is not None:
         trainer.resume(checkpoint)
+    elif auto_resume and run_dir is not None:
+        trainer.resume()
 
     if trainer.run_dir is not None and jax.process_index() == 0:
         print(f"Run directory: {trainer.run_dir}")
 
-    trainer.fit(max_steps=max_steps)
+    trainer.fit(max_steps=max_steps, profile=profile)
 
 
 if __name__ == "__main__":
@@ -131,4 +156,11 @@ if __name__ == "__main__":
                         help="Use the SDXL-style attention CNN network.")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="Stop after N optimizer steps (smoke runs).")
+    parser.add_argument("--profile", action="store_true",
+                        help="Capture a jax.profiler device trace of steps 11-15.")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="Abort at the first NaN-producing op.")
+    parser.add_argument("--auto_resume", action="store_true",
+                        help="Continue the latest version dir from its last "
+                             "checkpoint (preemption recovery).")
     main(**parser.parse_args().__dict__)
