@@ -55,6 +55,7 @@ class ModelConfig:
     densenet_structure: Tuple[int, ...] = (6, 12, 24, 16)
     densenet_growth_rate: int = 16
     densenet_batch_norm_size: int = 4
+    mobilenet_structure: Optional[Tuple[Tuple[int, ...], ...]] = None
     dropout: float = 0.0
     pixel_noise_std: float = 0.01
     # data dims
@@ -109,6 +110,10 @@ class ModelConfig:
             densenet_structure=tuple(options.densenet_structure),
             densenet_growth_rate=options.densenet_growth_rate,
             densenet_batch_norm_size=options.densenet_batch_norm_size,
+            mobilenet_structure=(
+                tuple(tuple(row) for row in options.mobilenet_structure)
+                if options.mobilenet_structure else None
+            ),
             dropout=options.dropout,
             pixel_noise_std=options.pixel_noise_std,
             features_dim=features_dim,
@@ -167,6 +172,40 @@ def create_pixel_embedder(cfg: ModelConfig, output_dim: int, name: str) -> nn.Mo
             growth_rate=cfg.densenet_growth_rate,
             batch_norm_size=cfg.densenet_batch_norm_size,
             block_config=cfg.densenet_structure,
+            dropout=cfg.dropout,
+            dtype=cfg.dtype,
+            axis_name=cfg.axis_name,
+            name=name,
+        )
+    if cfg.embedder == "mobilenet":
+        from .mobilenet import DEFAULT_STRUCTURE, MobileNetV2
+
+        return MobileNetV2(
+            output_dim=output_dim,
+            initial_features=cfg.initial_pixel_dim,
+            structure=cfg.mobilenet_structure or DEFAULT_STRUCTURE,
+            dropout=cfg.dropout,
+            dtype=cfg.dtype,
+            axis_name=cfg.axis_name,
+            name=name,
+        )
+    if cfg.embedder == "resnet":
+        from .resnet import ResNetStack
+
+        return ResNetStack(
+            output_dim=output_dim,
+            initial_features=cfg.initial_pixel_dim,
+            dropout=cfg.dropout,
+            dtype=cfg.dtype,
+            axis_name=cfg.axis_name,
+            name=name,
+        )
+    if cfg.embedder == "convnext":
+        from .sparse_convnext import SparseConvNeXt
+
+        return SparseConvNeXt(
+            output_dim=output_dim,
+            drop_path_rate=cfg.dropout,
             dropout=cfg.dropout,
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,

@@ -35,22 +35,29 @@ from ..ops.sparse import (
 
 
 class SparseConv(nn.Module):
-    """Bias-free sparse convolution layer (ME MinkowskiConvolution)."""
+    """Bias-free sparse convolution layer (ME MinkowskiConvolution;
+    ``depthwise=True`` gives ME's ChannelwiseConvolution)."""
 
     features: int
     kernel: int
     stride: int = 1
+    depthwise: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, grid: SparseGrid) -> SparseGrid:
+        c_in = grid.features.shape[-1]
+        groups = c_in if self.depthwise else 1
         weights = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
-            (self.kernel, self.kernel, grid.features.shape[-1], self.features),
+            (self.kernel, self.kernel, c_in // groups, self.features),
             jnp.float32,
         )
-        return sparse_conv(grid, weights.astype(self.dtype), self.stride)
+        return sparse_conv(
+            grid, weights.astype(self.dtype), self.stride,
+            feature_group_count=groups,
+        )
 
 
 class SparseBatchNormPReLU(nn.Module):

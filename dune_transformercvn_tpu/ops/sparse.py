@@ -97,9 +97,10 @@ def _window_counts(occupancy: jnp.ndarray, kernel: int, stride: int) -> jnp.ndar
 
 def sparse_conv(
     grid: SparseGrid,
-    kernel_weights: jnp.ndarray,   # [k, k, C_in, C_out]
+    kernel_weights: jnp.ndarray,   # [k, k, C_in / groups, C_out]
     stride: int = 1,
     expand_coordinates: bool = True,
+    feature_group_count: int = 1,  # C_in for channelwise (ME ChannelwiseConv)
 ) -> SparseGrid:
     """Generalized sparse convolution (ME MinkowskiConvolution, bias-free)."""
     k = kernel_weights.shape[0]
@@ -109,6 +110,7 @@ def sparse_conv(
         window_strides=(stride, stride),
         padding=(pad, pad),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count,
     )
     if expand_coordinates:
         occupancy = _dilate_occupancy(grid.occupancy, k, stride)

@@ -38,6 +38,7 @@ def main(
     sparse: bool,
     sdxl: bool,
     max_steps: Optional[int] = None,
+    embedder: Optional[str] = None,
     profile: bool = False,
     debug_nans: bool = False,
     auto_resume: bool = False,
@@ -45,7 +46,14 @@ def main(
 ):
     from dune_transformercvn_tpu.config import Options
 
-    embedder = "sparse" if sparse else ("sdxl" if sdxl else "dense")
+    if sparse:
+        embedder_name = "sparse"
+    elif sdxl:
+        embedder_name = "sdxl"
+    elif embedder:
+        embedder_name = embedder
+    else:
+        embedder_name = "dense"
 
     options = Options()
     if options_file is not None:
@@ -102,7 +110,7 @@ def main(
 
     trainer = Trainer(
         options,
-        embedder=embedder,
+        embedder=embedder_name,
         name=name,
         log_dir=log_dir,
         run_dir=run_dir,
@@ -154,6 +162,11 @@ if __name__ == "__main__":
                         help="Use the sparse-convolution network.")
     parser.add_argument("--sdxl", action="store_true",
                         help="Use the SDXL-style attention CNN network.")
+    parser.add_argument("--embedder", type=str, default=None,
+                        choices=["dense", "sdxl", "sparse", "mobilenet",
+                                 "resnet", "convnext"],
+                        help="Pixel-embedder family (generalizes "
+                             "--sparse/--sdxl).")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="Stop after N optimizer steps (smoke runs).")
     parser.add_argument("--profile", action="store_true",
