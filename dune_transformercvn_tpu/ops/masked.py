@@ -99,9 +99,14 @@ class MaskedBatchNorm(nn.Module):
                 total_sq = jnp.sum(jnp.square(xf) * w, axis=reduce_axes)
 
             if self.axis_name is not None:
-                total = jax.lax.psum(total, self.axis_name)
-                total_sq = jax.lax.psum(total_sq, self.axis_name)
-                count = jax.lax.psum(count, self.axis_name)
+                # one fused psum per BN layer instead of three tiny ones
+                packed = jnp.concatenate(
+                    [total, total_sq, count.reshape(1)]
+                )
+                packed = jax.lax.psum(packed, self.axis_name)
+                total = packed[: self.channels]
+                total_sq = packed[self.channels : 2 * self.channels]
+                count = packed[-1]
 
             count = jnp.maximum(count, 1.0)
             mean = total / count

@@ -63,10 +63,26 @@ def compute_losses(
 
 
 def make_train_step(model, tx, options, mesh):
-    """Build the jitted, shard_mapped training step."""
+    """Build the jitted training step; shard_mapped over the data mesh when
+    it has more than one device.  On a 1-device mesh every collective is an
+    identity, but this backend still materializes them as ops (~140 tiny
+    pmeans over the BN-stat pytree cost ~4 ms/step), so the single-device
+    path compiles the plain function instead.
+    """
     gamma = options.loss_gamma
     event_scale = options.event_prong_loss_proportion
-    sync_bn = options.sync_batch_norm
+    single = mesh.devices.size == 1
+    # BN stats are already mesh-invariant only when the model psums them
+    # itself (sync-BN on a >1-device mesh); otherwise reduce here so the
+    # replicated state stays consistent (and the shard_map vma check holds).
+    stats_need_reduce = not single and not options.sync_batch_norm
+
+    if single:
+        pmean = lambda x: x                        # noqa: E731
+        device_index = lambda: jnp.asarray(0)      # noqa: E731
+    else:
+        pmean = lambda x: jax.lax.pmean(x, DATA_AXIS)          # noqa: E731
+        device_index = lambda: jax.lax.axis_index(DATA_AXIS)   # noqa: E731
 
     def loss_fn(params, state: TrainState, batch, rngs):
         (event_logits, prong_logits), updates = model.apply(
@@ -85,9 +101,8 @@ def make_train_step(model, tx, options, mesh):
         return total, (updates["batch_stats"], metrics)
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:
-        device_pos = jax.lax.axis_index(DATA_AXIS)
         rng = jax.random.fold_in(state.base_rng, state.step)
-        rng = jax.random.fold_in(rng, device_pos)
+        rng = jax.random.fold_in(rng, device_index())
         noise_rng, dropout_rng = jax.random.split(rng)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -95,12 +110,11 @@ def make_train_step(model, tx, options, mesh):
             state.params, state, batch, {"noise": noise_rng, "dropout": dropout_rng}
         )
 
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        grads = pmean(grads)
+        metrics = pmean(metrics)
         grad_norm = optax.global_norm(grads)
-        if not sync_bn:
-            # keep the replicated state consistent even with per-replica stats
-            batch_stats = jax.lax.pmean(batch_stats, DATA_AXIS)
+        if stats_need_reduce:
+            batch_stats = pmean(batch_stats)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -114,6 +128,8 @@ def make_train_step(model, tx, options, mesh):
         metrics = dict(metrics, grad_norm=grad_norm)
         return new_state, metrics
 
+    if single:
+        return jax.jit(step_fn, donate_argnums=(0,))
     sharded = jax.shard_map(
         step_fn,
         mesh=mesh,
@@ -129,6 +145,7 @@ def make_eval_step(model, options, mesh, num_event_classes, num_prong_classes):
     gamma = options.loss_gamma
     event_scale = options.event_prong_loss_proportion
     bins = options.auc_bins
+    single = mesh.devices.size == 1
 
     def step_fn(state: TrainState, batch):
         event_logits, prong_logits = model.apply(
@@ -148,8 +165,12 @@ def make_eval_step(model, options, mesh, num_event_classes, num_prong_classes):
             prong_logits, batch["prong_targets"],
             total,
         )
+        if single:
+            return delta
         return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, DATA_AXIS), delta)
 
+    if single:
+        return jax.jit(step_fn)
     sharded = jax.shard_map(
         step_fn, mesh=mesh, in_specs=(P(), P(DATA_AXIS)), out_specs=P()
     )
@@ -171,6 +192,8 @@ def make_predict_step(model, mesh):
             jax.nn.softmax(prong_logits, axis=-1),
         )
 
+    if mesh.devices.size == 1:
+        return jax.jit(step_fn)
     sharded = jax.shard_map(
         step_fn, mesh=mesh, in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS)
     )
