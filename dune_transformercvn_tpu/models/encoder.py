@@ -72,6 +72,96 @@ class EncoderLayer(nn.Module):
         return x
 
 
+class DecoderLayer(nn.Module):
+    """Post-norm transformer decoder layer (self-attn, cross-attn, FFN)."""
+
+    hidden_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    activation: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, targets, memory, memory_mask=None, train: bool = False):
+        act = (
+            (lambda x: nn.gelu(x, approximate=False))
+            if self.activation == "gelu"
+            else nn.relu
+        )
+        deterministic = not train
+        mha_kwargs = dict(
+            num_heads=self.num_heads,
+            qkv_features=self.hidden_dim,
+            out_features=self.hidden_dim,
+            dropout_rate=self.dropout,
+            deterministic=deterministic,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )
+        h = nn.MultiHeadDotProductAttention(**mha_kwargs)(targets, targets)
+        targets = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(
+            targets + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        )
+        h = nn.MultiHeadDotProductAttention(**mha_kwargs)(
+            targets, memory, mask=memory_mask
+        )
+        targets = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(
+            targets + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        )
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32)(targets)
+        h = nn.Dropout(self.dropout)(act(h), deterministic=deterministic)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(
+            targets + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        )
+
+
+class InducedSetAttentionBlock(nn.Module):
+    """ISAB (set-transformer): attend a learned inducing set to the tokens,
+    then attend the tokens back to the induced summary — O(T*m) attention.
+
+    The reference carries this block unused beside its encoder
+    (prong_custom_bert_encoder.py:9-26); provided here as a drop-in
+    building block for longer token sets.
+    """
+
+    hidden_dim: int
+    num_heads: int
+    num_indices: int = 8
+    dropout: float = 0.0
+    activation: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, mask=None, train: bool = False):
+        """``tokens``: [B, T, D]; ``mask``: [B, T] bool."""
+        B, T, D = tokens.shape
+        inducing = self.param(
+            "inducing_points",
+            nn.initializers.xavier_uniform(),
+            (1, self.num_indices, self.hidden_dim),
+            jnp.float32,
+        )
+        inducing = jnp.broadcast_to(
+            inducing, (B, self.num_indices, self.hidden_dim)
+        ).astype(tokens.dtype)
+
+        key_mask = None
+        if mask is not None:
+            key_mask = jnp.broadcast_to(
+                mask[:, None, None, :], (B, 1, self.num_indices, T)
+            )
+        layer_kwargs = dict(
+            hidden_dim=self.hidden_dim,
+            num_heads=self.num_heads,
+            dropout=self.dropout,
+            activation=self.activation,
+            dtype=self.dtype,
+        )
+        summary = DecoderLayer(**layer_kwargs)(inducing, tokens, key_mask, train)
+        return DecoderLayer(**layer_kwargs)(tokens, summary, None, train)
+
+
 class TransformerEncoder(nn.Module):
     hidden_dim: int
     num_heads: int

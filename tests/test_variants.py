@@ -77,6 +77,25 @@ def test_variant_registry_wiring():
         create_pixel_embedder(cfg, 16, "embed")
 
 
+def test_induced_set_attention_block():
+    from dune_transformercvn_tpu.models.encoder import InducedSetAttentionBlock
+
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.normal(size=(2, 6, 16)).astype(np.float32))
+    mask = jnp.asarray([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1]], bool)
+    mod = InducedSetAttentionBlock(hidden_dim=16, num_heads=4, num_indices=3)
+    v = jax.jit(lambda x, m: mod.init(jax.random.PRNGKey(0), x, m))(tokens, mask)
+    out = jax.jit(lambda v, x, m: mod.apply(v, x, m))(v, tokens, mask)
+    assert out.shape == (2, 6, 16)
+    # masked tokens don't leak into real tokens through the induced summary
+    out2 = jax.jit(lambda v, x, m: mod.apply(v, x, m))(
+        v, tokens.at[0, 4].set(99.0), mask
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0, :3]), np.asarray(out2[0, :3]), atol=1e-4
+    )
+
+
 def test_masked_softmax_pooling():
     rng = np.random.default_rng(1)
     tokens = jnp.asarray(rng.normal(size=(2, 5, 8)).astype(np.float32))
