@@ -82,7 +82,10 @@ class DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, targets, memory, memory_mask=None, train: bool = False):
+    def __call__(
+        self, targets, memory, memory_mask=None, self_mask=None,
+        train: bool = False,
+    ):
         act = (
             (lambda x: nn.gelu(x, approximate=False))
             if self.activation == "gelu"
@@ -98,7 +101,9 @@ class DecoderLayer(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )
-        h = nn.MultiHeadDotProductAttention(**mha_kwargs)(targets, targets)
+        h = nn.MultiHeadDotProductAttention(**mha_kwargs)(
+            targets, targets, mask=self_mask
+        )
         targets = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(
             targets + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         )
@@ -158,8 +163,17 @@ class InducedSetAttentionBlock(nn.Module):
             activation=self.activation,
             dtype=self.dtype,
         )
-        summary = DecoderLayer(**layer_kwargs)(inducing, tokens, key_mask, train)
-        return DecoderLayer(**layer_kwargs)(tokens, summary, None, train)
+        summary = DecoderLayer(**layer_kwargs)(
+            inducing, tokens, memory_mask=key_mask, train=train
+        )
+        # second pass: tokens self-attend (padded keys masked, matching the
+        # reference's tgt_key_padding_mask) then attend the induced summary
+        self_mask = None
+        if mask is not None:
+            self_mask = jnp.broadcast_to(mask[:, None, None, :], (B, 1, T, T))
+        return DecoderLayer(**layer_kwargs)(
+            tokens, summary, self_mask=self_mask, train=train
+        )
 
 
 class TransformerEncoder(nn.Module):
