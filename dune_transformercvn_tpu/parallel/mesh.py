@@ -47,3 +47,11 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     """State: fully replicated."""
     return NamedSharding(mesh, PartitionSpec())
+
+
+def local_shard_ids(mesh: Mesh) -> list:
+    """Positions along the data axis owned by this process (multi-host)."""
+    me = jax.process_index()
+    return [
+        s for s, d in enumerate(mesh.devices.flat) if d.process_index == me
+    ]

@@ -22,7 +22,13 @@ from ..config import Options
 from ..data.batcher import Batcher
 from ..data.dataset import create_datasets
 from ..models.network import ModelConfig, TransformerCVN
-from ..parallel.mesh import DATA_AXIS, batch_sharding, create_mesh, replicated_sharding
+from ..parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    create_mesh,
+    local_shard_ids,
+    replicated_sharding,
+)
 from ..utils.rundir import create_run_dir
 from . import schedules
 from .checkpoint import CheckpointManager, restore_from_path
@@ -58,6 +64,13 @@ class Trainer:
         self.num_shards = self.mesh.devices.size
         self.batch_sharding = batch_sharding(self.mesh)
         self.state_sharding = replicated_sharding(self.mesh)
+        # Multi-host: every host assembles the identical (deterministic)
+        # global batch and feeds only its own shards; process 0 owns IO —
+        # the TPU equivalents of the DDP per-rank sampler and NODE_RANK
+        # master guards (train.py:40, SURVEY §2.3).
+        self.process_index = jax.process_index()
+        self.multi_process = jax.process_count() > 1
+        self._local_shards = local_shard_ids(self.mesh)
 
         # ---- data ------------------------------------------------------------
         self.training_dataset, self.validation_dataset, self.testing_dataset = (
@@ -145,11 +158,14 @@ class Trainer:
         )
         self.predict_step = make_predict_step(self.model, self.mesh)
 
-        # ---- run dir / logging / checkpoints ---------------------------------
-        if run_dir is None and not debug:
+        # ---- run dir / logging / checkpoints (process-0 IO) ------------------
+        is_master = self.process_index == 0
+        if run_dir is None and not debug and is_master:
             run_dir = create_run_dir(log_dir or os.getcwd(), name)
         self.run_dir = run_dir
-        self.logger = MetricLogger(run_dir, enabled=run_dir is not None)
+        self.logger = MetricLogger(
+            run_dir, enabled=run_dir is not None and is_master
+        )
         self.checkpoints = (
             CheckpointManager(
                 os.path.join(run_dir, "checkpoints"), top_k=options.checkpoint_top_k
@@ -157,13 +173,25 @@ class Trainer:
             if run_dir is not None
             else None
         )
-        if run_dir is not None:
+        if run_dir is not None and is_master:
             options.save(os.path.join(run_dir, "options.json"))
 
     # -------------------------------------------------------------------------
 
     def _device_batch(self, batch):
-        return jax.device_put(batch, self.batch_sharding)
+        if not self.multi_process:
+            return jax.device_put(batch, self.batch_sharding)
+
+        def place(array):
+            per_shard = array.shape[0] // self.num_shards
+            local = np.concatenate(
+                [array[s * per_shard:(s + 1) * per_shard] for s in self._local_shards]
+            )
+            return jax.make_array_from_process_local_data(
+                self.batch_sharding, local
+            )
+
+        return {k: place(v) for k, v in batch.items()}
 
     def resume(self, checkpoint_path: Optional[str] = None):
         """Restore full train state from a checkpoint path or the run dir's
@@ -243,7 +271,7 @@ class Trainer:
         }
 
     def _checkpoint(self, metrics: Optional[Dict[str, float]]):
-        if self.checkpoints is None:
+        if self.checkpoints is None or self.process_index != 0:
             return
         metric_value = None if metrics is None else metrics.get("val_epoch_AUC")
         self.checkpoints.save(
