@@ -158,6 +158,77 @@ def save_predictions_h5(
             f.create_dataset("prong_event_index", data=prong_event_index)
 
 
+def save_plots(
+    output_dir: str,
+    event_probs, event_targets, prong_probs, prong_targets,
+    event_names, prong_names,
+) -> list:
+    """ROC-curve and confusion-matrix figures (Evaluate.ipynb cells 25-28).
+
+    Returns the list of written files. Uses matplotlib's Agg backend.
+    """
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+    written = []
+
+    def roc_figure(probs, targets, names, title, path):
+        fig, ax = plt.subplots(figsize=(7, 6))
+        for c, name in enumerate(names):
+            labels = (targets == c).astype(np.int64)
+            if labels.sum() == 0 or labels.sum() == len(labels):
+                continue
+            fpr, tpr, _ = roc_curve(probs[:, c], labels)
+            auc = binary_auc(probs[:, c], labels)
+            ax.plot(fpr, tpr, label=f"{name} (AUC {auc:.3f})")
+        ax.plot([0, 1], [0, 1], "k--", linewidth=0.8)
+        ax.set_xlabel("False positive rate")
+        ax.set_ylabel("True positive rate")
+        ax.set_title(title)
+        ax.legend(fontsize=8)
+        fig.tight_layout()
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        written.append(path)
+
+    def confusion_figure(predictions, targets, names, title, path):
+        cm = confusion_matrix(predictions, targets, len(names)).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            cm_norm = cm / np.maximum(cm.sum(1, keepdims=True), 1.0)
+        fig, ax = plt.subplots(figsize=(7, 6))
+        im = ax.imshow(cm_norm, cmap="Blues", vmin=0, vmax=1)
+        ax.set_xticks(range(len(names)), names, rotation=45, ha="right", fontsize=7)
+        ax.set_yticks(range(len(names)), names, fontsize=7)
+        for i in range(len(names)):
+            for j in range(len(names)):
+                ax.text(j, i, f"{cm_norm[i, j]:.2f}", ha="center", va="center",
+                        fontsize=7,
+                        color="white" if cm_norm[i, j] > 0.5 else "black")
+        ax.set_xlabel("Predicted")
+        ax.set_ylabel("True")
+        ax.set_title(title)
+        fig.colorbar(im)
+        fig.tight_layout()
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        written.append(path)
+
+    roc_figure(event_probs, event_targets, event_names, "Event ROC",
+               os.path.join(output_dir, "event_roc.png"))
+    roc_figure(prong_probs, prong_targets, prong_names, "Prong ROC",
+               os.path.join(output_dir, "prong_roc.png"))
+    confusion_figure(event_probs.argmax(1), event_targets, event_names,
+                     "Event confusion", os.path.join(output_dir, "event_confusion.png"))
+    confusion_figure(prong_probs.argmax(1), prong_targets, prong_names,
+                     "Prong confusion", os.path.join(output_dir, "prong_confusion.png"))
+    return written
+
+
 def render_report(results: Dict[str, object], event_names, prong_names) -> str:
     lines = []
     lines.append("=" * 72)

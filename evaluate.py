@@ -33,6 +33,8 @@ def main():
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--history", action="store_true",
                         help="print the logged training history and exit")
+    parser.add_argument("--plots", action="store_true",
+                        help="write ROC-curve and confusion-matrix PNGs")
     args = parser.parse_args()
 
     from dune_transformercvn_tpu.train.logging import read_history
@@ -89,6 +91,18 @@ def main():
         predictions["prong_probabilities"], predictions["prong_targets"],
     )
     print(render_report(results, event_names, PRONG_CLASS_NAMES))
+
+    if args.plots:
+        from dune_transformercvn_tpu.evaluation import save_plots
+
+        written = save_plots(
+            os.path.join(args.run_dir, "plots"),
+            predictions["event_probabilities"], predictions["event_targets"],
+            predictions["prong_probabilities"], predictions["prong_targets"],
+            event_names, PRONG_CLASS_NAMES,
+        )
+        for path in written:
+            print(f"Plot written: {path}")
 
     output = args.output or os.path.join(args.run_dir, "eval_predictions.h5")
     save_predictions_h5(
