@@ -174,6 +174,10 @@ class Options:
         # COO hit-count buckets are rounded up to this granularity (per shard).
         self.coo_bucket_granularity: int = 8192
 
+        # One static batch signature (dataset-derived upper-bound caps):
+        # exactly one XLA specialization per phase; auto-enabled multi-host.
+        self.static_batch_shapes: bool = False
+
         # Cross-replica synchronized batch-norm statistics (the reference runs
         # unsynced per-GPU BN under DDP; sync keeps replicated state exact).
         self.sync_batch_norm: bool = True

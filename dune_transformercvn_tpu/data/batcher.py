@@ -72,6 +72,7 @@ class Batcher:
         shuffle: bool = False,
         seed: int = 0,
         drop_last: bool = True,
+        fixed_shape: bool = False,
     ):
         if batch_size % num_shards != 0:
             raise ValueError(
@@ -86,6 +87,32 @@ class Batcher:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+
+        # fixed_shape: one static signature for every batch (exactly one XLA
+        # specialization, and shard shapes that agree across hosts without
+        # communication).  Caps are data-independent upper bounds: the sum of
+        # the per_shard largest per-event counts bounds any shard's total.
+        self.fixed_caps = None
+        if fixed_shape:
+            self.fixed_caps = self._compute_fixed_caps()
+
+    def _compute_fixed_caps(self) -> BatchShape:
+        ds = self.dataset
+        b = self.per_shard
+
+        def top_sum(counts):
+            counts = np.sort(np.asarray(counts))[::-1]
+            return int(counts[: min(b, len(counts))].sum())
+
+        prong_counts = ds.prong_mask.sum(1)
+        ev_hits = ds.event_compressed_index[:, 1] - ds.event_compressed_index[:, 0]
+        pr_hits = ds.prong_compressed_index[:, 1] - ds.prong_compressed_index[:, 0]
+        return BatchShape(
+            per_shard=b,
+            prong_slots=self._prong_capacity(top_sum(prong_counts)),
+            event_hits=_bucket(top_sum(ev_hits), self.coo_granularity),
+            prong_hits=_bucket(top_sum(pr_hits), self.coo_granularity),
+        )
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.batch_size
@@ -114,16 +141,21 @@ class Batcher:
 
         # --- choose the static bucket sizes for this batch -------------------
         counts = mask.sum(-1)                            # [S, b]
-        prong_cap = self._prong_capacity(int(counts.sum(-1).max()))
-
         ev_owner_g = raw["event_owner"]                  # global row of each hit
         pr_owner_g = raw["prong_owner"]
         ev_shard = ev_owner_g // b
         pr_shard = pr_owner_g // b
-        ev_per_shard = np.bincount(ev_shard, minlength=S)
-        pr_per_shard = np.bincount(pr_shard, minlength=S)
-        ev_cap = _bucket(int(ev_per_shard.max()), self.coo_granularity)
-        pr_cap = _bucket(int(pr_per_shard.max()), self.coo_granularity)
+
+        if self.fixed_caps is not None:
+            prong_cap = self.fixed_caps.prong_slots
+            ev_cap = self.fixed_caps.event_hits
+            pr_cap = self.fixed_caps.prong_hits
+        else:
+            prong_cap = self._prong_capacity(int(counts.sum(-1).max()))
+            ev_per_shard = np.bincount(ev_shard, minlength=S)
+            pr_per_shard = np.bincount(pr_shard, minlength=S)
+            ev_cap = _bucket(int(ev_per_shard.max()), self.coo_granularity)
+            pr_cap = _bucket(int(pr_per_shard.max()), self.coo_granularity)
 
         C = raw["event_values"].shape[1] if raw["event_values"].size else self.dataset.pixel_features
 

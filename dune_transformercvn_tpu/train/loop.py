@@ -108,6 +108,9 @@ class Trainer:
             prong_bucket_multipliers=options.prong_bucket_multipliers,
             coo_granularity=options.coo_bucket_granularity,
             seed=options.seed,
+            # multi-host REQUIRES shape agreement across hosts without
+            # communication; otherwise opt-in to bound recompilation
+            fixed_shape=options.static_batch_shapes or self.multi_process,
         )
         self.train_batcher = Batcher(self.training_dataset, shuffle=True, **batcher_kwargs)
         self.val_batcher = Batcher(self.validation_dataset, shuffle=False, **batcher_kwargs)
@@ -244,6 +247,7 @@ class Trainer:
             prong_bucket_multipliers=self.options.prong_bucket_multipliers,
             coo_granularity=self.options.coo_bucket_granularity,
             drop_last=False,  # wrap-padded final batch, trimmed below
+            fixed_shape=self.options.static_batch_shapes or self.multi_process,
         )
         ev_probs, ev_targets = [], []
         pr_probs, pr_targets, pr_event = [], [], []

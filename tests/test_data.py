@@ -138,6 +138,29 @@ def test_batcher_static_shapes_and_reconstruction(synthetic_file, num_shards):
                 assert not imgs[k].any()
 
 
+def test_batcher_fixed_shape_single_signature(synthetic_file):
+    """fixed_shape: every batch of an epoch shares one static signature and
+    the caps bound every realized batch (no overflow)."""
+    ds = EventDataset(synthetic_file, event_current_targets=True)
+    fixed = Batcher(ds, batch_size=8, num_shards=2, coo_granularity=256,
+                    fixed_shape=True, shuffle=True, seed=1)
+    dyn = Batcher(ds, batch_size=8, num_shards=2, coo_granularity=256,
+                  shuffle=True, seed=1)
+    shapes = {fixed.shape_of(b) for b in fixed.epoch(0)}
+    assert len(shapes) == 1
+    static = shapes.pop()
+    for b in dyn.epoch(0):
+        s = dyn.shape_of(b)
+        assert s.prong_slots <= static.prong_slots
+        assert s.event_hits <= static.event_hits
+        assert s.prong_hits <= static.prong_hits
+    # content identical to the dynamic batcher modulo padding
+    fb = fixed.build_batch(np.arange(8))
+    db = dyn.build_batch(np.arange(8))
+    np.testing.assert_array_equal(fb["event_targets"], db["event_targets"])
+    assert fb["slot_mask"].sum() == db["slot_mask"].sum()
+
+
 def test_batcher_epoch_shuffle_determinism(synthetic_file):
     ds = EventDataset(synthetic_file)
     batcher = Batcher(ds, batch_size=16, shuffle=True, seed=3)
