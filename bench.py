@@ -78,6 +78,12 @@ def main():
     events = rounds * len(batches) * options.batch_size
     eps = events / elapsed
 
+    # auxiliary context for humans (stderr; the driver reads stdout only)
+    print(
+        f"# protocol: production dense config, batch 16, bf16, "
+        f"{events} events in {elapsed:.2f}s on {jax.devices()[0]}",
+        file=sys.stderr,
+    )
     print(json.dumps({
         "metric": "inference_events_per_second",
         "value": round(eps, 2),

@@ -181,6 +181,17 @@ class Trainer:
 
     # -------------------------------------------------------------------------
 
+    def _device_prefetch(self, host_iterator):
+        """Move batches to device one step ahead so the H2D transfer (which
+        costs ~40% of a step over a tunneled device) overlaps with compute."""
+        pending = None
+        for batch in host_iterator:
+            ready, pending = pending, self._device_batch(batch)
+            if ready is not None:
+                yield ready
+        if pending is not None:
+            yield pending
+
     def _device_batch(self, batch):
         if not self.multi_process:
             return jax.device_put(batch, self.batch_sharding)
@@ -219,8 +230,8 @@ class Trainer:
                 self.options.auc_bins,
             ),
         )
-        for batch in self.val_batcher.prefetch_epoch(0):
-            delta = self.eval_step(self.state, self._device_batch(batch))
+        for batch in self._device_prefetch(self.val_batcher.prefetch_epoch(0)):
+            delta = self.eval_step(self.state, batch)
             delta = jax.device_get(delta)
             totals = jax.tree_util.tree_map(lambda a, b: a + np.asarray(b), totals, delta)
         return finalize_metrics(totals)
@@ -311,15 +322,15 @@ class Trainer:
         window_start, window_events = time.time(), 0
 
         for epoch in range(start_epoch, options.epochs):
-            for batch in self.train_batcher.prefetch_epoch(epoch):
+            for batch in self._device_prefetch(
+                self.train_batcher.prefetch_epoch(epoch)
+            ):
                 if step >= limit:
                     break
                 if profile_dir is not None and step - start_step == 10:
                     jax.profiler.start_trace(profile_dir)
                     profiling = True
-                self.state, metrics = self.train_step(
-                    self.state, self._device_batch(batch)
-                )
+                self.state, metrics = self.train_step(self.state, batch)
                 step += 1
                 window_events += self.global_batch
                 if profiling and step - start_step >= 15:
