@@ -252,8 +252,20 @@ class Batcher:
             pad = np.resize(tail, self.batch_size)  # wrap-pad to keep shapes static
             yield self.build_batch(pad)
 
-    def prefetch_epoch(self, epoch: int = 0, depth: int = 2) -> Iterator[Dict[str, np.ndarray]]:
-        """Epoch iterator with background-thread prefetch."""
+    def prefetch_epoch(
+        self, epoch: int = 0, depth: int = 2, num_workers: int = 1
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Epoch iterator with background prefetch.
+
+        ``num_workers > 1`` runs batch assembly on a thread pool (the role of
+        the reference's DataLoader worker processes; numpy/h5 slicing release
+        the GIL) while preserving batch order; ``depth`` bounds how many
+        prepared batches may be in flight.
+        """
+        if num_workers > 1:
+            yield from self._pool_epoch(epoch, depth, num_workers)
+            return
+
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         sentinel = object()
         err: List[BaseException] = []
@@ -276,3 +288,28 @@ class Batcher:
                     raise err[0]
                 return
             yield item
+
+    def _pool_epoch(self, epoch: int, depth: int, num_workers: int):
+        from concurrent.futures import ThreadPoolExecutor
+
+        order = self.epoch_indices(epoch)
+        starts = list(range(0, len(order) - self.batch_size + 1, self.batch_size))
+        if not self.drop_last and len(order) % self.batch_size:
+            starts.append(-1)  # wrap-pad tail marker
+
+        def build(start):
+            if start < 0:
+                tail = order[(len(order) // self.batch_size) * self.batch_size:]
+                return self.build_batch(np.resize(tail, self.batch_size))
+            return self.build_batch(order[start:start + self.batch_size])
+
+        window = max(depth, num_workers)
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            futures = [pool.submit(build, s) for s in starts[:window]]
+            cursor = window
+            for i in range(len(starts)):
+                yield futures[i].result()
+                futures[i] = None
+                if cursor < len(starts):
+                    futures.append(pool.submit(build, starts[cursor]))
+                    cursor += 1

@@ -178,6 +178,25 @@ def export_run_dir(run_dir: str, output_dir=None, checkpoint: str = "best",
     return export_model(trainer.model, variables, state.norm, output_dir)
 
 
+def check_exported(path: str, max_prongs: int, channels: int,
+                   height: int, width: int, num_prongs: int = 3,
+                   seed: int = 0) -> None:
+    """Sanity-run an exported artifact (CreateCompiled.ipynb cells 10-13:
+    'Check to make sure the traced models work')."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    pixels = (rng.uniform(size=(1 + max_prongs, channels, height, width)) < 0.01)
+    pixels = (pixels * rng.uniform(16, 255, pixels.shape)).astype(np.float32)
+    fn = load_exported(path)
+    outputs = fn(jnp.asarray(pixels), jnp.asarray(num_prongs, jnp.int32))
+    for i, out in enumerate(outputs):
+        value = np.asarray(out)
+        assert np.isfinite(value).all(), f"non-finite output {i} from {path}"
+        print(f"  output {i}: shape {value.shape}, "
+              f"range [{value.min():.4f}, {value.max():.4f}]")
+
+
 def main():  # pragma: no cover
     from argparse import ArgumentParser
 
@@ -187,11 +206,29 @@ def main():  # pragma: no cover
     parser.add_argument("--checkpoint", default="best", choices=["best", "last"])
     parser.add_argument("--sdxl", action="store_true")
     parser.add_argument("--sparse", action="store_true")
+    parser.add_argument("--check", action="store_true",
+                        help="sanity-run each exported artifact")
     args = parser.parse_args()
     embedder = "sparse" if args.sparse else ("sdxl" if args.sdxl else "dense")
     paths = export_run_dir(args.run_dir, args.output_dir, args.checkpoint, embedder)
     for variant, path in paths.items():
         print(f"{variant}: {path}")
+
+    if args.check:
+        import json as _json
+
+        meta_path = next(
+            p for p in os.listdir(os.path.dirname(next(iter(paths.values()))))
+            if p.endswith("_export_meta.json")
+        )
+        with open(os.path.join(os.path.dirname(next(iter(paths.values()))), meta_path)) as f:
+            meta = _json.load(f)
+        shape = meta["input_shape"]
+        for variant, path in paths.items():
+            print(f"checking {variant}:")
+            check_exported(
+                path, meta["max_prongs"], shape[1], shape[2], shape[3]
+            )
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -50,6 +50,7 @@ class Trainer:
         debug: bool = False,
         verbose: Optional[bool] = None,
         callbacks=None,
+        log_graph: bool = False,
     ):
         self.options = options
         self.debug = debug
@@ -58,6 +59,9 @@ class Trainer:
         # (reference SHERPA pattern: send the epoch objective per validation,
         # network/sherpa/*.py); any tuner can subscribe here.
         self.callbacks = list(callbacks or [])
+        # -g/--graph: dump the lowered train-step StableHLO beside the logs
+        # (the TensorBoard log_graph equivalent, train.py:105)
+        self.log_graph = log_graph
 
         # ---- mesh ------------------------------------------------------------
         self.mesh = create_mesh(options.num_gpu)
@@ -114,6 +118,9 @@ class Trainer:
         )
         self.train_batcher = Batcher(self.training_dataset, shuffle=True, **batcher_kwargs)
         self.val_batcher = Batcher(self.validation_dataset, shuffle=False, **batcher_kwargs)
+        self.num_workers = max(
+            1, min(options.num_dataloader_workers, os.cpu_count() or 1)
+        )
 
         # ---- model + optimizer ----------------------------------------------
         self.model_config = ModelConfig.from_options(
@@ -230,7 +237,9 @@ class Trainer:
                 self.options.auc_bins,
             ),
         )
-        for batch in self._device_prefetch(self.val_batcher.prefetch_epoch(0)):
+        for batch in self._device_prefetch(
+            self.val_batcher.prefetch_epoch(0, num_workers=self.num_workers)
+        ):
             delta = self.eval_step(self.state, batch)
             delta = jax.device_get(delta)
             totals = jax.tree_util.tree_map(lambda a, b: a + np.asarray(b), totals, delta)
@@ -323,13 +332,20 @@ class Trainer:
 
         for epoch in range(start_epoch, options.epochs):
             for batch in self._device_prefetch(
-                self.train_batcher.prefetch_epoch(epoch)
+                self.train_batcher.prefetch_epoch(epoch, num_workers=self.num_workers)
             ):
                 if step >= limit:
                     break
                 if profile_dir is not None and step - start_step == 10:
                     jax.profiler.start_trace(profile_dir)
                     profiling = True
+                if self.log_graph and self.run_dir is not None:
+                    self.log_graph = False
+                    path = os.path.join(self.run_dir, "train_step.stablehlo.txt")
+                    with open(path, "w") as f:
+                        f.write(self.train_step.lower(self.state, batch).as_text())
+                    if self.verbose:
+                        print(f"Train-step graph written to {path}")
                 self.state, metrics = self.train_step(self.state, batch)
                 step += 1
                 window_events += self.global_batch

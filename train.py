@@ -116,6 +116,7 @@ def main(
         run_dir=run_dir,
         debug=debug,
         verbose=verbose or options.verbose_output,
+        log_graph=graph,
     )
     if checkpoint is not None:
         trainer.resume(checkpoint)
