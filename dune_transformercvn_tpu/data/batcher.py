@@ -100,18 +100,19 @@ class Batcher:
         ds = self.dataset
         b = self.per_shard
 
-        def top_sum(counts):
-            counts = np.sort(np.asarray(counts))[::-1]
-            return int(counts[: min(b, len(counts))].sum())
+        def cap(counts):
+            # b * per-event max bounds any multiset of b events — including
+            # the wrap-padded tail batch, which may duplicate a heavy event
+            return b * int(np.asarray(counts).max())
 
         prong_counts = ds.prong_mask.sum(1)
         ev_hits = ds.event_compressed_index[:, 1] - ds.event_compressed_index[:, 0]
         pr_hits = ds.prong_compressed_index[:, 1] - ds.prong_compressed_index[:, 0]
         return BatchShape(
             per_shard=b,
-            prong_slots=self._prong_capacity(top_sum(prong_counts)),
-            event_hits=_bucket(top_sum(ev_hits), self.coo_granularity),
-            prong_hits=_bucket(top_sum(pr_hits), self.coo_granularity),
+            prong_slots=self._prong_capacity(cap(prong_counts)),
+            event_hits=_bucket(cap(ev_hits), self.coo_granularity),
+            prong_hits=_bucket(cap(pr_hits), self.coo_granularity),
         )
 
     def __len__(self) -> int:
@@ -131,12 +132,25 @@ class Batcher:
                 return m * self.per_shard
         return (MAX_PRONGS + 1) * self.per_shard
 
-    def build_batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
-        """Assemble one global batch for the given event indices."""
+    def build_batch(
+        self, indices: np.ndarray, valid: Optional[np.ndarray] = None
+    ) -> Dict[str, np.ndarray]:
+        """Assemble one global batch for the given event indices.
+
+        ``valid`` marks rows that are real (wrap-padded tail rows get
+        ``False``): invalid rows keep their images/masks (static shapes) but
+        their event and prong targets are set to -1 so losses and metrics
+        exclude them.
+        """
         S, b = self.num_shards, self.per_shard
         assert len(indices) == S * b
 
         raw = self.dataset.gather_events(indices)
+        if valid is not None and not valid.all():
+            raw["event_targets"] = np.where(valid, raw["event_targets"], -1)
+            raw["prong_targets"] = np.where(
+                valid[:, None], raw["prong_targets"], -1
+            )
         mask = raw["prong_mask"].reshape(S, b, MAX_PRONGS)
 
         # --- choose the static bucket sizes for this batch -------------------
@@ -150,6 +164,15 @@ class Batcher:
             prong_cap = self.fixed_caps.prong_slots
             ev_cap = self.fixed_caps.event_hits
             pr_cap = self.fixed_caps.prong_hits
+            needed_prongs = int(counts.sum(-1).max())
+            needed_ev = int(np.bincount(ev_shard, minlength=S).max())
+            needed_pr = int(np.bincount(pr_shard, minlength=S).max())
+            if needed_prongs > prong_cap or needed_ev > ev_cap or needed_pr > pr_cap:
+                raise ValueError(
+                    f"fixed_shape caps exceeded: need (prongs {needed_prongs}, "
+                    f"event hits {needed_ev}, prong hits {needed_pr}) vs caps "
+                    f"({prong_cap}, {ev_cap}, {pr_cap})"
+                )
         else:
             prong_cap = self._prong_capacity(int(counts.sum(-1).max()))
             ev_per_shard = np.bincount(ev_shard, minlength=S)
@@ -248,9 +271,14 @@ class Batcher:
         for k in range(n_full):
             yield self.build_batch(order[k * self.batch_size:(k + 1) * self.batch_size])
         if not self.drop_last and len(order) % self.batch_size:
-            tail = order[n_full * self.batch_size:]
-            pad = np.resize(tail, self.batch_size)  # wrap-pad to keep shapes static
-            yield self.build_batch(pad)
+            yield self._tail_batch(order)
+
+    def _tail_batch(self, order: np.ndarray) -> Dict[str, np.ndarray]:
+        """Wrap-padded final batch with the padded rows marked invalid."""
+        tail = order[(len(order) // self.batch_size) * self.batch_size:]
+        pad = np.resize(tail, self.batch_size)
+        valid = np.arange(self.batch_size) < len(tail)
+        return self.build_batch(pad, valid=valid)
 
     def prefetch_epoch(
         self, epoch: int = 0, depth: int = 2, num_workers: int = 1
@@ -299,8 +327,7 @@ class Batcher:
 
         def build(start):
             if start < 0:
-                tail = order[(len(order) // self.batch_size) * self.batch_size:]
-                return self.build_batch(np.resize(tail, self.batch_size))
+                return self._tail_batch(order)
             return self.build_batch(order[start:start + self.batch_size])
 
         window = max(depth, num_workers)

@@ -157,12 +157,12 @@ class EventDataset:
         extra_std: Optional[np.ndarray] = None,
     ):
         """Masked feature statistics; pass another split's stats to share them."""
-        if mean is None:
+        if mean is None or std is None:
             masked = self.features[self.prong_mask]
             mean = masked.mean(0)
             std = masked.std(0)
             std = np.where(std < 1e-5, 1.0, std)
-        if extra_mean is None:
+        if extra_mean is None or extra_std is None:
             extra_mean = np.asarray(self.extra.mean(), dtype=np.float32)
             extra_std = np.asarray(self.extra.std(), dtype=np.float32)
             if float(extra_std) < 1e-5:
@@ -188,11 +188,10 @@ class EventDataset:
         by the batcher).
         """
         indices = np.asarray(indices)
+        # ranges are absolute into the memmapped banks (lazy path) or local
+        # into the loaded slices (RAM path) — both set up in __init__
         ev_ranges = self.event_compressed_index[indices]
         pr_ranges = self.prong_compressed_index[indices]
-        if not self.load_full_dataset:
-            ev_ranges = ev_ranges  # absolute already
-            pr_ranges = pr_ranges
 
         def slice_bank(coords, values, ranges):
             if self.load_full_dataset:

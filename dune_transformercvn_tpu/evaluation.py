@@ -29,7 +29,6 @@ def binary_auc(scores: np.ndarray, labels: np.ndarray) -> float:
     all_scores = np.concatenate([pos, neg])
     order = np.argsort(all_scores, kind="mergesort")
     ranks = np.empty(len(all_scores))
-    ranks[order] = np.arange(1, len(all_scores) + 1)
     # average ranks over ties
     sorted_scores = all_scores[order]
     unique, inverse, counts = np.unique(

@@ -57,6 +57,13 @@ def build_inference_fn(model: TransformerCVN, variant: str):
     """
     cfg = model.cfg
     max_prongs = cfg.max_prongs
+    if cfg.one_hot_pixels:
+        # The reference exporter also hardcodes /255-or-log1p preprocessing
+        # (CreateCompiled.ipynb cell 6); one-hot models need a bespoke graph.
+        raise NotImplementedError(
+            "export of one_hot_pixels models is not supported (the raw-count "
+            "input convention assumes /255 or log1p preprocessing)"
+        )
 
     def fn(variables, norm, pixel_maps, num_prongs):
         # NCHW (the LArSoft convention) -> NHWC, preprocess without noise

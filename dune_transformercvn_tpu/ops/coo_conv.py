@@ -86,20 +86,23 @@ def build_conv_maps_numpy(
         out_coords[:, 1] //= stride
         out_coords[:, 2] //= stride
 
-    # --- per-offset pair lists, padded to a common static length
+    # --- per-offset pair lists, padded to a common static length.
+    # Padding out_map entries use max(num_out, pad_to): out of bounds (and
+    # so dropped by mode="drop") whether the caller allocates num_out rows
+    # or a pad_to-row static output.
     pair_counts = np.bincount(all_off, minlength=kernel * kernel)
     L = int(pair_counts.max()) if len(all_off) else 1
     if pad_to:
         L = max(L, pad_to)
+    out_pad = max(num_out, pad_to)
     in_maps = np.full((kernel * kernel, L), len(coords), np.int32)
-    out_maps = np.full((kernel * kernel, L), num_out, np.int32)
+    out_maps = np.full((kernel * kernel, L), out_pad, np.int32)
     for j in range(kernel * kernel):
         sel = all_off == j
         n = int(sel.sum())
         in_maps[j, :n] = all_in[sel]
         out_maps[j, :n] = inverse[sel]
 
-    M = num_out if not pad_to else max(num_out, pad_to)
     return ConvMaps(out_coords, num_out, in_maps, out_maps)
 
 

@@ -61,10 +61,17 @@ class CheckpointManager:
         self._write_index()
         return path
 
+    @staticmethod
+    def _rank_metric(entry) -> float:
+        """None/NaN metrics rank below every real value (pruned first)."""
+        metric = entry.get("metric")
+        if metric is None or (isinstance(metric, float) and np.isnan(metric)):
+            return -np.inf
+        return float(metric)
+
     def _prune(self):
         ranked = sorted(
-            self._index["checkpoints"],
-            key=lambda c: (-(c["metric"] if c["metric"] is not None else -np.inf)),
+            self._index["checkpoints"], key=self._rank_metric, reverse=True
         )
         keep = {c["step"] for c in ranked[: self.top_k]}
         keep.add(self._index["last"])
@@ -79,10 +86,13 @@ class CheckpointManager:
         return self._index.get("last")
 
     def best_step(self) -> Optional[int]:
-        entries = [c for c in self._index["checkpoints"] if c["metric"] is not None]
+        entries = [
+            c for c in self._index["checkpoints"]
+            if self._rank_metric(c) != -np.inf
+        ]
         if not entries:
             return self.latest_step()
-        return max(entries, key=lambda c: c["metric"])["step"]
+        return max(entries, key=self._rank_metric)["step"]
 
     def restore(self, template, step: Optional[int] = None):
         """Restore into the structure of ``template`` (a freshly built state)."""

@@ -117,7 +117,14 @@ class Trainer:
             fixed_shape=options.static_batch_shapes or self.multi_process,
         )
         self.train_batcher = Batcher(self.training_dataset, shuffle=True, **batcher_kwargs)
-        self.val_batcher = Batcher(self.validation_dataset, shuffle=False, **batcher_kwargs)
+        # drop_last=False: validation splits smaller than the global batch
+        # still validate (the wrap-padded tail rows carry target -1 and are
+        # excluded from losses and metric statistics)
+        self.val_batcher = Batcher(
+            self.validation_dataset, shuffle=False, drop_last=False, **batcher_kwargs
+        )
+        if len(self.validation_dataset) == 0:
+            raise ValueError("validation split is empty; adjust train_validation_split")
         self.num_workers = max(
             1, min(options.num_dataloader_workers, os.cpu_count() or 1)
         )
@@ -269,11 +276,19 @@ class Trainer:
             drop_last=False,  # wrap-padded final batch, trimmed below
             fixed_shape=self.options.static_batch_shapes or self.multi_process,
         )
+        def fetch(outputs):
+            if not self.multi_process:
+                return jax.device_get(outputs)
+            # sharded outputs are not fully addressable from one process
+            from jax.experimental import multihost_utils
+
+            return jax.device_get(multihost_utils.process_allgather(outputs))
+
         ev_probs, ev_targets = [], []
         pr_probs, pr_targets, pr_event = [], [], []
         seen = 0
-        for batch in batcher.prefetch_epoch(0):
-            probs_e, probs_p = jax.device_get(
+        for batch in batcher.prefetch_epoch(0, num_workers=self.num_workers):
+            probs_e, probs_p = fetch(
                 self.predict_step(self.state, self._device_batch(batch))
             )
             take = min(self.global_batch, len(dataset) - seen)
@@ -327,6 +342,9 @@ class Trainer:
         start_epoch = start_step // self.steps_per_epoch
         step = start_step
         last_eval_step = -1
+        # mid-epoch resume: skip the batches the checkpointed step already
+        # consumed (the epoch order is deterministic in (seed, epoch))
+        skip_batches = start_step % self.steps_per_epoch
         t_start = time.time()
         window_start, window_events = time.time(), 0
 
@@ -334,6 +352,9 @@ class Trainer:
             for batch in self._device_prefetch(
                 self.train_batcher.prefetch_epoch(epoch, num_workers=self.num_workers)
             ):
+                if skip_batches > 0:
+                    skip_batches -= 1
+                    continue
                 if step >= limit:
                     break
                 if profile_dir is not None and step - start_step == 10:

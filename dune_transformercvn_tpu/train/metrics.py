@@ -68,8 +68,11 @@ def update_metric_state(
     loss: jnp.ndarray,
 ) -> Dict[str, jnp.ndarray]:
     ev_probs = jax.nn.softmax(event_logits.astype(jnp.float32), axis=-1)
-    ev_w = jnp.ones((event_logits.shape[0],), jnp.float32)
-    ev_correct = (jnp.argmax(event_logits, -1) == event_targets).astype(jnp.float32)
+    # wrap-padded tail rows carry target -1 and are excluded
+    ev_w = (event_targets >= 0).astype(jnp.float32)
+    ev_correct = (
+        (jnp.argmax(event_logits, -1) == event_targets).astype(jnp.float32) * ev_w
+    )
 
     Kpr = prong_logits.shape[-1]
     pr_logits = prong_logits.reshape(-1, Kpr)

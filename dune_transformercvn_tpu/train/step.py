@@ -36,8 +36,10 @@ def compute_losses(
     event_logits, prong_logits, event_targets, prong_targets, gamma, event_scale
 ):
     """Weighted event + masked prong focal loss
-    (neutrino_full_base_trainer.py:162-183)."""
-    event_loss = softmax_focal_loss(event_logits, event_targets, gamma)
+    (neutrino_full_base_trainer.py:162-183).  Event rows with target < 0
+    (wrap-padded eval tails) are excluded like padding prongs."""
+    event_weights = (event_targets >= 0).astype(jnp.float32)
+    event_loss = softmax_focal_loss(event_logits, event_targets, gamma, event_weights)
 
     Kpr = prong_logits.shape[-1]
     flat_logits = prong_logits.reshape(-1, Kpr)
@@ -47,9 +49,11 @@ def compute_losses(
 
     total = event_scale * event_loss + (1.0 - event_scale) * prong_loss
 
-    event_accuracy = jnp.mean(
+    event_correct = (
         (jnp.argmax(event_logits, -1) == event_targets).astype(jnp.float32)
+        * event_weights
     )
+    event_accuracy = jnp.sum(event_correct) / jnp.maximum(event_weights.sum(), 1.0)
     prong_correct = (jnp.argmax(flat_logits, -1) == flat_targets).astype(jnp.float32)
     prong_accuracy = jnp.sum(prong_correct * weights) / jnp.maximum(weights.sum(), 1.0)
 

@@ -96,7 +96,8 @@ def native_build_conv_maps(
     if pad_to:
         L = max(L, pad_to)
     in_maps = np.full((volume, L), n, np.int32)
-    out_maps = np.full((volume, L), num_out, np.int32)
+    # pad entries OOB for both num_out- and pad_to-row output allocations
+    out_maps = np.full((volume, L), max(int(num_out), pad_to), np.int32)
     cursor = 0
     for j in range(volume):
         count = int(pair_counts[j])

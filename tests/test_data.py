@@ -172,6 +172,26 @@ def test_batcher_epoch_shuffle_determinism(synthetic_file):
     assert len(list(batcher.epoch(0))) == len(ds) // 16 == batcher.steps_per_epoch()
 
 
+def test_batcher_tail_marks_padded_rows_invalid(synthetic_file):
+    ds = EventDataset(synthetic_file)
+    batcher = Batcher(ds, batch_size=16, drop_last=False)
+    batches = list(batcher.epoch(0))
+    tail = batches[-1]
+    n_real = len(ds) % 16
+    assert n_real != 0
+    # wrapped rows carry -1 targets; real rows keep theirs
+    assert (tail["event_targets"][n_real:] == -1).all()
+    assert (tail["prong_targets"][n_real:] == -1).all()
+    tail_indices = np.arange(16 * (len(ds) // 16), len(ds))
+    np.testing.assert_array_equal(
+        tail["event_targets"][:n_real], ds.event_targets[tail_indices]
+    )
+    # fixed-shape caps hold even for the wrap-padded tail
+    fixed = Batcher(ds, batch_size=16, drop_last=False, fixed_shape=True)
+    for batch in fixed.epoch(0):
+        pass  # no cap-overflow ValueError
+
+
 def test_batcher_prefetch_matches_sync(synthetic_file):
     ds = EventDataset(synthetic_file)
     batcher = Batcher(ds, batch_size=16, shuffle=True, seed=5)

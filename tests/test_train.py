@@ -179,6 +179,42 @@ def test_streaming_auc_matches_exact():
     np.testing.assert_allclose(result["event_epoch_accuracy"], expected_acc, atol=1e-6)
 
 
+def test_metrics_exclude_invalid_events():
+    """Events with target -1 (wrap-padded eval tails) contribute nothing."""
+    rng = np.random.default_rng(7)
+    ev = jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))
+    et = jnp.asarray([0, 1, 2, 3, -1, -1, -1, -1])
+    pr = jnp.asarray(rng.normal(size=(8, 2, 8)).astype(np.float32))
+    pt = jnp.asarray(
+        np.broadcast_to(np.where(np.asarray(et)[:, None] >= 0, 1, -1), (8, 2))
+    )
+
+    full = update_metric_state(init_metric_state(4, 8, 256), ev, et, pr, pt, jnp.asarray(0.0))
+    trimmed = update_metric_state(
+        init_metric_state(4, 8, 256), ev[:4], et[:4], pr[:4], pt[:4], jnp.asarray(0.0)
+    )
+    assert float(full["event_count"]) == 4.0
+    for key in full:
+        if key.startswith("loss"):
+            continue
+        np.testing.assert_allclose(
+            np.asarray(full[key]), np.asarray(trimmed[key]), atol=1e-5, err_msg=key
+        )
+
+
+def test_checkpoint_ranking_handles_none_and_nan(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck"), top_k=2)
+    mgr.save(make_fake_state(1.0), 1, None)
+    mgr.save(make_fake_state(2.0), 2, float("nan"))
+    mgr.save(make_fake_state(3.0), 3, 0.6)
+    mgr.save(make_fake_state(4.0), 4, 0.8)
+    mgr.save(make_fake_state(5.0), 5, 0.7)
+    # None/NaN rank below real metrics: top-2 = {4, 5}, plus last
+    kept = {c["step"] for c in mgr._index["checkpoints"]}
+    assert kept == {4, 5}
+    assert mgr.best_step() == 4
+
+
 def test_metrics_additivity():
     """Accumulating in one shot == accumulating in chunks (psum-ability)."""
     rng = np.random.default_rng(1)

@@ -75,7 +75,8 @@ def main(
         options.compute_dtype = "bfloat16"
     if fp32:
         options.compute_dtype = "float32"
-    options.eval_interval = eval
+    if eval is not None:  # -e overrides; else keep the option-file value
+        options.eval_interval = eval
 
     if debug:
         print("Debug Mode: small batch, no logger")
@@ -151,7 +152,7 @@ if __name__ == "__main__":
                         help="Output additional information.")
     parser.add_argument("-b", "--batch_size", type=int, default=None,
                         help="Override per-device batch size.")
-    parser.add_argument("-e", "--eval", type=int, default=500,
+    parser.add_argument("-e", "--eval", type=int, default=None,
                         help="Number of steps between validations.")
     parser.add_argument("--gpus", type=int, default=None,
                         help="Override device count (data-parallel mesh size).")
