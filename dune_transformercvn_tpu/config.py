@@ -178,6 +178,10 @@ class Options:
         # exactly one XLA specialization per phase; auto-enabled multi-host.
         self.static_batch_shapes: bool = False
 
+        # Rematerialize CNN bottlenecks in backward (jax.checkpoint): ~1/3
+        # more FLOPs for O(depth) less activation memory (larger batches).
+        self.remat_cnn: bool = False
+
         # Cross-replica synchronized batch-norm statistics (the reference runs
         # unsynced per-GPU BN under DDP; sync keeps replicated state exact).
         self.sync_batch_norm: bool = True

@@ -75,12 +75,19 @@ class DenseNet(nn.Module):
     batch_norm_size: int = 4
     block_config: Sequence[int] = (6, 12, 24, 16)
     dropout: float = 0.0
+    # rematerialize each bottleneck in backward (jax.checkpoint): trades
+    # ~1/3 more FLOPs for O(depth) less activation memory, unlocking larger
+    # per-chip batches
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, images, mask=None, train: bool = False):
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
+        bottleneck_cls = (
+            nn.remat(Bottleneck, static_argnums=(3,)) if self.remat else Bottleneck
+        )
         x = images.astype(self.dtype)
 
         # Stem: 7x7/2 conv, BN, PReLU, 3x3/2 average pool.
@@ -95,11 +102,16 @@ class DenseNet(nn.Module):
         x = nn.avg_pool(x, (3, 3), strides=(2, 2))
 
         features = self.initial_features
+        block_index = 0
         for i, num_layers in enumerate(self.block_config):
             for j in range(num_layers):
-                x = Bottleneck(
-                    self.growth_rate, self.batch_norm_size, self.dropout, **kw
+                # explicit names keep the param tree (and checkpoints)
+                # identical whether or not remat wrapping is enabled
+                x = bottleneck_cls(
+                    self.growth_rate, self.batch_norm_size, self.dropout,
+                    name=f"Bottleneck_{block_index}", **kw
                 )(x, mask, train)
+                block_index += 1
             features += num_layers * self.growth_rate
             if i != len(self.block_config) - 1:
                 features //= 2

@@ -72,6 +72,7 @@ class ModelConfig:
     # execution
     compute_dtype: str = "bfloat16"
     axis_name: Optional[str] = None
+    remat_cnn: bool = False
     # Reference quirk (neutrino_full_base_network.py:107): prongs reuse the
     # *event* position embedding; set True to use the dedicated prong vector.
     fix_prong_position_embedding: bool = False
@@ -126,6 +127,7 @@ class ModelConfig:
             embedder=embedder,
             compute_dtype=options.compute_dtype,
             axis_name=axis_name,
+            remat_cnn=options.remat_cnn,
         )
 
     @property
@@ -147,6 +149,7 @@ def create_pixel_embedder(cfg: ModelConfig, output_dim: int, name: str) -> nn.Mo
             batch_norm_size=cfg.densenet_batch_norm_size,
             block_config=cfg.densenet_structure,
             dropout=cfg.dropout,
+            remat=cfg.remat_cnn,
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,
             name=name,

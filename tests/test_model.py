@@ -148,6 +148,27 @@ def test_densenet_channel_plan():
     assert sum(1 for k in variables["params"] if k.startswith("Transition")) == 4
 
 
+def test_densenet_remat_same_params_and_grads():
+    """remat=True must keep the param tree identical (checkpoints stay
+    compatible) and produce the same gradients."""
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 48, 40, 3)).astype(np.float32)
+    )
+    kwargs = dict(output_dim=8, initial_features=8, growth_rate=4,
+                  batch_norm_size=2, block_config=(1, 1))
+    plain = DenseNet(**kwargs)
+    remat = DenseNet(remat=True, **kwargs)
+    v = jax.jit(plain.init)(jax.random.PRNGKey(0), x)
+
+    def loss(net, v):
+        return jnp.sum(net.apply(v, x, mutable=["batch_stats"])[0])
+
+    g1 = jax.jit(jax.grad(lambda v: loss(plain, v)))(v)
+    g2 = jax.jit(jax.grad(lambda v: loss(remat, v)))(v)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_encoder_mask_blocks_padded_keys():
     enc = TransformerEncoder(hidden_dim=16, num_heads=4, num_layers=1)
     B, T = 2, 5
