@@ -1,0 +1,277 @@
+"""Full-network golden parity against the ACTUAL reference implementation.
+
+Runs the reference's live dense network (NeutrinoDenseNetwork) on torch CPU —
+with MinkowskiEngine stubbed out, since only the sparse path touches it —
+transplants its weights into our Flax TransformerCVN, feeds both the same
+batch through their respective pipelines, and asserts the event and prong
+logits agree.  This is the strongest form of the SURVEY §4 golden-value
+parity requirement: the whole model, end to end.
+
+Skipped automatically when the reference checkout is absent.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "transformercvn")),
+    reason="reference checkout not available",
+)
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from dune_transformercvn_tpu.config import Options
+from dune_transformercvn_tpu.data import Batcher, EventDataset
+from dune_transformercvn_tpu.data.schema import make_synthetic_file
+from dune_transformercvn_tpu.models import ModelConfig, TransformerCVN
+
+
+def _import_reference_network():
+    if "MinkowskiEngine" not in sys.modules:
+        stub = types.ModuleType("MinkowskiEngine")
+        stub.SparseTensor = type("SparseTensor", (), {})
+        stub.cat = lambda *a: None
+        sys.modules["MinkowskiEngine"] = stub
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from transformercvn.network.networks.neutrino_full_dense_network import (
+        NeutrinoDenseNetwork,
+    )
+    from transformercvn.options import Options as RefOptions
+
+    return NeutrinoDenseNetwork, RefOptions
+
+
+def t2n(tensor):
+    return tensor.detach().numpy()
+
+
+def conv_w(sd, key):  # torch OIHW -> flax HWIO
+    return t2n(sd[key]).transpose(2, 3, 1, 0)
+
+
+def set_bn(params, stats, sd, prefix):
+    params["scale"] = t2n(sd[f"{prefix}.weight"])
+    params["bias"] = t2n(sd[f"{prefix}.bias"])
+    stats["mean"] = t2n(sd[f"{prefix}.running_mean"])
+    stats["var"] = t2n(sd[f"{prefix}.running_var"])
+
+
+def map_densenet(sd, ref_prefix, params, stats, blocks):
+    params["Conv_0"]["kernel"] = conv_w(sd, f"{ref_prefix}.features.conv0.weight")
+    params["Conv_0"]["bias"] = t2n(sd[f"{ref_prefix}.features.conv0.bias"])
+    set_bn(params["MaskedBatchNorm_0"], stats["MaskedBatchNorm_0"],
+           sd, f"{ref_prefix}.features.norm0")
+    params["PReLU_0"]["alpha"] = t2n(sd[f"{ref_prefix}.features.relu0.weight"])
+
+    bottleneck = transition = 0
+    for i, n in enumerate(blocks):
+        for j in range(n):
+            rp = f"{ref_prefix}.features.dense{i + 1}.layers.{j}"
+            fp = params[f"Bottleneck_{bottleneck}"]
+            fs = stats[f"Bottleneck_{bottleneck}"]
+            set_bn(fp["MaskedBatchNorm_0"], fs["MaskedBatchNorm_0"],
+                   sd, f"{rp}.bottleneck_block.norm1")
+            fp["PReLU_0"]["alpha"] = t2n(sd[f"{rp}.bottleneck_block.relu1.weight"])
+            fp["Conv_0"]["kernel"] = conv_w(sd, f"{rp}.bottleneck_block.conv1.weight")
+            fp["Conv_0"]["bias"] = t2n(sd[f"{rp}.bottleneck_block.conv1.bias"])
+            set_bn(fp["MaskedBatchNorm_1"], fs["MaskedBatchNorm_1"],
+                   sd, f"{rp}.output_block.norm2")
+            fp["PReLU_1"]["alpha"] = t2n(sd[f"{rp}.output_block.relu2.weight"])
+            fp["Conv_1"]["kernel"] = conv_w(sd, f"{rp}.output_block.conv2.weight")
+            fp["Conv_1"]["bias"] = t2n(sd[f"{rp}.output_block.conv2.bias"])
+            bottleneck += 1
+        if i != len(blocks) - 1:
+            rp = f"{ref_prefix}.features.transition{i + 1}"
+            fp = params[f"Transition_{transition}"]
+            fs = stats[f"Transition_{transition}"]
+            set_bn(fp["MaskedBatchNorm_0"], fs["MaskedBatchNorm_0"], sd, f"{rp}.norm")
+            fp["PReLU_0"]["alpha"] = t2n(sd[f"{rp}.relu.weight"])
+            fp["Conv_0"]["kernel"] = conv_w(sd, f"{rp}.conv.weight")
+            fp["Conv_0"]["bias"] = t2n(sd[f"{rp}.conv.bias"])
+            transition += 1
+
+    set_bn(params["MaskedBatchNorm_1"], stats["MaskedBatchNorm_1"],
+           sd, f"{ref_prefix}.features.final_norm")
+    params["PReLU_1"]["alpha"] = t2n(sd[f"{ref_prefix}.features.final_relu.weight"])
+    params["Dense_0"]["kernel"] = t2n(sd[f"{ref_prefix}.output_block.linear.weight"]).T
+    set_bn(params["MaskedBatchNorm_2"], stats["MaskedBatchNorm_2"],
+           sd, f"{ref_prefix}.output_block.norm")
+    params["PReLU_2"]["alpha"] = t2n(sd[f"{ref_prefix}.output_block.relu.weight"])
+
+
+def map_encoder_layer(sd, ref_prefix, params, hidden_dim, heads):
+    hd = hidden_dim // heads
+    in_w = t2n(sd[f"{ref_prefix}.self_attn.in_proj_weight"])
+    in_b = t2n(sd[f"{ref_prefix}.self_attn.in_proj_bias"])
+    mha = params["MultiHeadDotProductAttention_0"]
+    D = hidden_dim
+    for i, name in enumerate(["query", "key", "value"]):
+        mha[name]["kernel"] = in_w[i * D:(i + 1) * D].T.reshape(D, heads, hd)
+        mha[name]["bias"] = in_b[i * D:(i + 1) * D].reshape(heads, hd)
+    mha["out"]["kernel"] = t2n(sd[f"{ref_prefix}.self_attn.out_proj.weight"]).T.reshape(heads, hd, D)
+    mha["out"]["bias"] = t2n(sd[f"{ref_prefix}.self_attn.out_proj.bias"])
+    params["Dense_0"]["kernel"] = t2n(sd[f"{ref_prefix}.linear1.weight"]).T
+    params["Dense_0"]["bias"] = t2n(sd[f"{ref_prefix}.linear1.bias"])
+    params["Dense_1"]["kernel"] = t2n(sd[f"{ref_prefix}.linear2.weight"]).T
+    params["Dense_1"]["bias"] = t2n(sd[f"{ref_prefix}.linear2.bias"])
+    params["LayerNorm_0"]["scale"] = t2n(sd[f"{ref_prefix}.norm1.weight"])
+    params["LayerNorm_0"]["bias"] = t2n(sd[f"{ref_prefix}.norm1.bias"])
+    params["LayerNorm_1"]["scale"] = t2n(sd[f"{ref_prefix}.norm2.weight"])
+    params["LayerNorm_1"]["bias"] = t2n(sd[f"{ref_prefix}.norm2.bias"])
+
+
+def test_full_network_logits_match_reference(tmp_path):
+    NeutrinoDenseNetwork, RefOptions = _import_reference_network()
+
+    # ---- shared tiny configuration ---------------------------------------
+    hidden, heads, layers = 32, 4, 2
+    blocks = [1, 1]
+    common = dict(
+        hidden_dim=hidden, densenet_structure=blocks, densenet_growth_rate=8,
+        densenet_batch_norm_size=4, initial_pixel_dim=8,
+        pixel_embedding_dim=16, feature_embedding_dim=8,
+        position_embedding_dim=8, num_encoder_layers=layers,
+        num_attention_heads=heads, num_prong_decoder_layers=2,
+        dropout=0.0, disable_smart_features=True,
+        transformer_activation="gelu", transformer_norm_first=False,
+    )
+
+    ref_options = RefOptions()
+    for key, value in common.items():
+        setattr(ref_options, key, value)
+    torch.manual_seed(0)
+    ref_net = NeutrinoDenseNetwork(ref_options, 6, 4, 3, 8, 4).eval()
+    with torch.no_grad():  # randomize BN running stats for a real eval test
+        for module in ref_net.modules():
+            if isinstance(module, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                module.running_mean.normal_(0, 0.2)
+                module.running_var.uniform_(0.7, 1.4)
+
+    # ---- our model --------------------------------------------------------
+    options = Options()
+    for key, value in common.items():
+        setattr(options, key, value)
+    options.compute_dtype = "float32"
+
+    path = str(tmp_path / "parity.h5")
+    make_synthetic_file(path, num_events=9, num_features=6, num_extra=4, seed=3)
+    ds = EventDataset(path, event_current_targets=True)
+    ds.compute_statistics()
+
+    cfg = ModelConfig.from_options(
+        options, ds.num_features, ds.num_extra, ds.pixel_features,
+        ds.num_event_classes, ds.num_prong_classes,
+    )
+    model = TransformerCVN(cfg)
+    B = 4
+    batcher = Batcher(ds, batch_size=B, coo_granularity=512)
+    batch = batcher.build_batch(np.arange(B))
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    norm = {
+        "mean": jnp.asarray(ds.mean), "std": jnp.asarray(ds.std),
+        "extra_mean": jnp.asarray(ds.extra_mean), "extra_std": jnp.asarray(ds.extra_std),
+    }
+    variables = jax.jit(lambda b, n: model.init(jax.random.PRNGKey(0), b, n, train=False))(
+        jbatch, norm
+    )
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+
+    # ---- transplant every reference weight --------------------------------
+    sd = ref_net.state_dict()
+    map_densenet(sd, "prong_embedding.event_pixel_embedding",
+                 params["event_pixel_embedding"], stats["event_pixel_embedding"], blocks)
+    map_densenet(sd, "prong_embedding.prong_pixel_embedding",
+                 params["prong_pixel_embedding"], stats["prong_pixel_embedding"], blocks)
+    params["event_position_embedding"] = t2n(sd["prong_embedding.event_position_embedding"])
+    params["prong_position_embedding"] = t2n(sd["prong_embedding.prong_position_embedding"])
+
+    ce = params["combined_embedding"]
+    ce["Dense_0"]["kernel"] = t2n(sd["prong_embedding.combined_embedding.linear.weight"]).T
+    set_bn(ce["MaskedBatchNorm_0"], stats["combined_embedding"]["MaskedBatchNorm_0"],
+           sd, "prong_embedding.combined_embedding.norm")
+    ce["PReLU_0"]["alpha"] = t2n(sd["prong_embedding.combined_embedding.activation.weight"])
+
+    for layer in range(layers):
+        map_encoder_layer(
+            sd, f"encoder.encoder.layers.{layer}",
+            params["encoder"][f"EncoderLayer_{layer}"], hidden, heads,
+        )
+
+    params["event_decoder"]["Dense_0"]["kernel"] = t2n(sd["event_decoder.hidden_layer.weight"]).T
+    params["event_decoder"]["Dense_0"]["bias"] = t2n(sd["event_decoder.hidden_layer.bias"])
+
+    pd = params["prong_decoder"]
+    pd_stats = stats["prong_decoder"]
+    for i, (lin, bn, act) in enumerate([(0, 1, 2), (3, 4, 5)]):
+        block = pd[f"LinearBlock_{i}"]
+        block["Dense_0"]["kernel"] = t2n(sd[f"prong_decoder.hidden_layers.{lin}.weight"]).T
+        block["Dense_0"]["bias"] = t2n(sd[f"prong_decoder.hidden_layers.{lin}.bias"])
+        set_bn(block["MaskedBatchNorm_0"],
+               pd_stats[f"LinearBlock_{i}"]["MaskedBatchNorm_0"],
+               sd, f"prong_decoder.hidden_layers.{bn}")
+        block["PReLU_0"]["alpha"] = t2n(sd[f"prong_decoder.hidden_layers.{act}.weight"])
+    pd["Dense_0"]["kernel"] = t2n(sd["prong_decoder.output_layer.weight"]).T
+    pd["Dense_0"]["bias"] = t2n(sd["prong_decoder.output_layer.bias"])
+
+    # ---- our forward -------------------------------------------------------
+    ours_ev, ours_pr = jax.jit(
+        lambda v, b, n: model.apply(v, b, n, train=False)
+    )({"params": params, "batch_stats": stats}, jbatch, norm)
+
+    # ---- reference forward (trainer preprocessing replicated inline) -------
+    raw = ds.gather_events(np.arange(B))
+    mask = torch.from_numpy(raw["prong_mask"])
+    features = torch.from_numpy(raw["features"]).clone()
+    mean, std = torch.from_numpy(ds.mean), torch.from_numpy(ds.std)
+    features[mask] = (features[mask] - mean) / std
+    extra = (torch.from_numpy(raw["extra"]) - float(ds.extra_mean)) / float(ds.extra_std)
+    event_mask = torch.ones(B, 1, dtype=torch.bool)
+
+    H, W, C = 400, 280, 3
+
+    def densify(coords_xy, values, owner, num_images):
+        out = torch.zeros(num_images, H, W, C)
+        idx = (torch.from_numpy(owner), torch.from_numpy(coords_xy[:, 0]),
+               torch.from_numpy(coords_xy[:, 1]))
+        out.index_put_(idx, torch.from_numpy(values) / 255.0, accumulate=True)
+        return out.permute(0, 3, 1, 2).contiguous()
+
+    event_pixels = densify(raw["event_coords"][:, 1:], raw["event_values"],
+                           raw["event_owner"], B)
+    # packed prong images in row-major (event, position) order == slot order
+    slot_of = {}
+    cursor = 0
+    for i in range(B):
+        for p in range(int(mask[i].sum())):
+            slot_of[(i, p)] = cursor
+            cursor += 1
+    owner_slots = np.array([
+        slot_of[(int(o), int(p))]
+        for o, p in zip(raw["prong_owner"], raw["prong_coords"][:, 0])
+    ])
+    prong_pixels = densify(raw["prong_coords"][:, 1:], raw["prong_values"],
+                           owner_slots, cursor)
+
+    with torch.no_grad():
+        ref_ev, ref_pr = ref_net(
+            features, extra, event_pixels, event_mask, prong_pixels, mask
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(ours_ev), t2n(ref_ev), rtol=2e-3, atol=2e-4
+    )
+    real = np.asarray(raw["prong_mask"])
+    np.testing.assert_allclose(
+        np.asarray(ours_pr)[real], t2n(ref_pr)[real], rtol=2e-3, atol=2e-4
+    )
