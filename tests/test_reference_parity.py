@@ -143,6 +143,7 @@ def test_full_network_logits_match_reference(tmp_path):
         position_embedding_dim=8, num_encoder_layers=layers,
         num_attention_heads=heads, num_prong_decoder_layers=2,
         dropout=0.0, disable_smart_features=True,
+        pixel_noise_std=0.0,  # our model applies noise in-graph at train time
         transformer_activation="gelu", transformer_norm_first=False,
     )
 
@@ -274,4 +275,26 @@ def test_full_network_logits_match_reference(tmp_path):
     real = np.asarray(raw["prong_mask"])
     np.testing.assert_allclose(
         np.asarray(ours_pr)[real], t2n(ref_pr)[real], rtol=2e-3, atol=2e-4
+    )
+
+    # ---- train-mode parity: masked BN == the reference's packed BN ---------
+    # (dropout/noise are 0; batch statistics are live). Event logits must
+    # match exactly — every BN on the event path sees the same packed rows.
+    # Prong logits are NOT compared: the reference's prong-decoder BN
+    # includes padded zero rows (a documented batch-composition quirk our
+    # masked decoder deliberately fixes, see models/heads.py).
+    ref_net.train()
+    with torch.no_grad():
+        ref_ev_t, _ = ref_net(
+            features, extra, event_pixels, event_mask, prong_pixels, mask
+        )
+    (ours_ev_t, _), _ = jax.jit(
+        lambda v, b, n: model.apply(
+            v, b, n, train=True,
+            rngs={"dropout": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"],
+        )
+    )({"params": params, "batch_stats": stats}, jbatch, norm)
+    np.testing.assert_allclose(
+        np.asarray(ours_ev_t), t2n(ref_ev_t), rtol=5e-3, atol=5e-4
     )
