@@ -46,6 +46,14 @@ def test_production_option_file_loads():
     assert o.verbose_output is True
 
 
+def test_tutorial_option_file_loads():
+    o = Options.load("option_files/fdhd_beam_2018prod_aiml_tutorial_2025_04_21.json")
+    assert o.batch_size == 2
+    assert o.num_gpu == 1
+    assert o.learning_rate_warmup_epochs == 0.01
+    assert o.train_validation_split == 0.96
+
+
 def test_save_round_trip(tmp_path):
     o = Options()
     o.batch_size = 7

@@ -130,7 +130,8 @@ def map_encoder_layer(sd, ref_prefix, params, hidden_dim, heads):
     params["LayerNorm_1"]["bias"] = t2n(sd[f"{ref_prefix}.norm2.bias"])
 
 
-def test_full_network_logits_match_reference(tmp_path):
+@pytest.mark.parametrize("norm_first", [False, True])
+def test_full_network_logits_match_reference(tmp_path, norm_first):
     NeutrinoDenseNetwork, RefOptions = _import_reference_network()
 
     # ---- shared tiny configuration ---------------------------------------
@@ -144,7 +145,7 @@ def test_full_network_logits_match_reference(tmp_path):
         num_attention_heads=heads, num_prong_decoder_layers=2,
         dropout=0.0, disable_smart_features=True,
         pixel_noise_std=0.0,  # our model applies noise in-graph at train time
-        transformer_activation="gelu", transformer_norm_first=False,
+        transformer_activation="gelu", transformer_norm_first=norm_first,
     )
 
     ref_options = RefOptions()
