@@ -236,21 +236,19 @@ class Trainer:
     # -------------------------------------------------------------------------
 
     def validate(self) -> Dict[str, float]:
-        totals = jax.tree_util.tree_map(
-            np.asarray,
+        totals = jax.device_put(
             init_metric_state(
                 self.training_dataset.num_event_classes,
                 self.training_dataset.num_prong_classes,
                 self.options.auc_bins,
             ),
+            self.state_sharding,
         )
         for batch in self._device_prefetch(
             self.val_batcher.prefetch_epoch(0, num_workers=self.num_workers)
         ):
-            delta = self.eval_step(self.state, batch)
-            delta = jax.device_get(delta)
-            totals = jax.tree_util.tree_map(lambda a, b: a + np.asarray(b), totals, delta)
-        return finalize_metrics(totals)
+            totals = self.eval_step(self.state, batch, totals)
+        return finalize_metrics(jax.device_get(totals))
 
     def predict_split(self, split: str = "validation"):
         """Batched inference over a split (the Evaluate.ipynb cell-14 loop).

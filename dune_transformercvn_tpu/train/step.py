@@ -144,14 +144,17 @@ def make_train_step(model, tx, options, mesh):
 
 
 def make_eval_step(model, options, mesh, num_event_classes, num_prong_classes):
-    """Build the jitted eval step: returns the psum-reduced metric-state
-    delta for one batch; the host accumulates deltas across the epoch."""
+    """Build the jitted eval step ``(state, batch, totals) -> totals``.
+
+    The metric sufficient statistics accumulate ON DEVICE (donated buffer);
+    the host fetches them once per validation epoch — fetching the ~250 KB
+    state per batch costs ~0.75 s over a tunneled device, 25x the compute.
+    """
     gamma = options.loss_gamma
     event_scale = options.event_prong_loss_proportion
-    bins = options.auc_bins
     single = mesh.devices.size == 1
 
-    def step_fn(state: TrainState, batch):
+    def step_fn(state: TrainState, batch, totals):
         event_logits, prong_logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch,
@@ -164,21 +167,23 @@ def make_eval_step(model, options, mesh, num_event_classes, num_prong_classes):
             gamma, event_scale,
         )
         delta = update_metric_state(
-            init_metric_state(num_event_classes, num_prong_classes, bins),
+            jax.tree_util.tree_map(jnp.zeros_like, totals),
             event_logits, batch["event_targets"],
             prong_logits, batch["prong_targets"],
             total,
         )
-        if single:
-            return delta
-        return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, DATA_AXIS), delta)
+        if not single:
+            delta = jax.tree_util.tree_map(
+                lambda x: jax.lax.psum(x, DATA_AXIS), delta
+            )
+        return jax.tree_util.tree_map(jnp.add, totals, delta)
 
     if single:
-        return jax.jit(step_fn)
+        return jax.jit(step_fn, donate_argnums=(2,))
     sharded = jax.shard_map(
-        step_fn, mesh=mesh, in_specs=(P(), P(DATA_AXIS)), out_specs=P()
+        step_fn, mesh=mesh, in_specs=(P(), P(DATA_AXIS), P()), out_specs=P()
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(2,))
 
 
 def make_predict_step(model, mesh):

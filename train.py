@@ -83,6 +83,12 @@ def main(
         options.batch_size = min(options.batch_size, 32)
         options.num_dataloader_workers = 0
 
+    if not options.training_file:
+        raise SystemExit(
+            "No training file configured: pass -o <options.json> with a "
+            "training_file entry, or -t <file.h5>."
+        )
+
     import jax
 
     if debug_nans:
