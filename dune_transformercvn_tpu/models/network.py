@@ -176,6 +176,7 @@ def create_pixel_embedder(cfg: ModelConfig, output_dim: int, name: str) -> nn.Mo
             batch_norm_size=cfg.densenet_batch_norm_size,
             block_config=cfg.densenet_structure,
             dropout=cfg.dropout,
+            remat=cfg.remat_cnn,
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,
             name=name,

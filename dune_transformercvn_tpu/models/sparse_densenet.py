@@ -127,11 +127,16 @@ class SparseDenseNet(nn.Module):
     batch_norm_size: int = 4
     block_config: Sequence[int] = (6, 12, 24, 16)
     dropout: float = 0.0
+    remat: bool = False  # rematerialize each dense layer in backward
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, images, mask=None, train: bool = False):
+        layer_cls = (
+            nn.remat(SparseDenseLayer, static_argnums=(2,))
+            if self.remat else SparseDenseLayer
+        )
         occupancy = jnp.any(images != 0, axis=-1)
         grid = SparseGrid(images.astype(self.dtype), occupancy)
 
@@ -143,12 +148,16 @@ class SparseDenseNet(nn.Module):
         grid = sparse_avg_pool(grid, kernel=3, stride=2)
 
         features = self.initial_features
+        layer_index = 0
         for i, num_layers in enumerate(self.block_config):
             for _ in range(num_layers):
-                grid = SparseDenseLayer(
+                # explicit names keep checkpoints identical with remat on/off
+                grid = layer_cls(
                     self.growth_rate, self.batch_norm_size, self.dropout,
                     self.dtype, self.axis_name,
+                    name=f"SparseDenseLayer_{layer_index}",
                 )(grid, train)
+                layer_index += 1
             features += num_layers * self.growth_rate
             if i != len(self.block_config) - 1:
                 features //= 2

@@ -307,6 +307,23 @@ class Trainer:
             "prong_event_index": np.concatenate(pr_event),
         }
 
+    def _log_confusions(self, metrics: Dict[str, float], step: int):
+        if not self.verbose or "event_confusion" not in metrics:
+            return
+        from ..data.schema import EVENT_CLASS_NAMES, PRONG_CLASS_NAMES
+
+        kev = metrics["event_confusion"].shape[0]
+        event_names = (
+            EVENT_CLASS_NAMES if kev == len(EVENT_CLASS_NAMES)
+            else [f"class_{i}" for i in range(kev)]
+        )
+        self.logger.log_confusion(
+            "val_event_confusion", metrics["event_confusion"], event_names, step
+        )
+        self.logger.log_confusion(
+            "val_prong_confusion", metrics["prong_confusion"], PRONG_CLASS_NAMES, step
+        )
+
     def _checkpoint(self, metrics: Optional[Dict[str, float]]):
         if self.checkpoints is None or self.process_index != 0:
             return
@@ -391,6 +408,7 @@ class Trainer:
                     last_val = self.validate()
                     last_eval_step = step
                     self.logger.log_scalars(last_val, step)
+                    self._log_confusions(last_val, step)
                     self._checkpoint(last_val)
                     for callback in self.callbacks:
                         callback(step, last_val)

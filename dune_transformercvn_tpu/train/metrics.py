@@ -31,6 +31,8 @@ def init_metric_state(num_event_classes: int, num_prong_classes: int, bins: int)
         "event_neg": z((num_event_classes, bins), jnp.float32),
         "prong_pos": z((num_prong_classes, bins), jnp.float32),
         "prong_neg": z((num_prong_classes, bins), jnp.float32),
+        "event_confusion": z((num_event_classes, num_event_classes), jnp.float32),
+        "prong_confusion": z((num_prong_classes, num_prong_classes), jnp.float32),
         "loss_sum": z((), jnp.float32),
         "loss_count": z((), jnp.float32),
     }
@@ -88,6 +90,22 @@ def update_metric_state(
         state["prong_pos"], state["prong_neg"], pr_probs, pr_targets, pr_w
     )
 
+    def confusion_update(matrix, targets, predictions, weights):
+        k = matrix.shape[0]
+        flat = jnp.clip(targets, 0, k - 1) * k + predictions
+        return matrix + jnp.zeros((k * k,), jnp.float32).at[flat].add(
+            weights
+        ).reshape(k, k)
+
+    event_confusion = confusion_update(
+        state["event_confusion"], event_targets,
+        jnp.argmax(event_logits, -1), ev_w,
+    )
+    prong_confusion = confusion_update(
+        state["prong_confusion"], pr_targets,
+        jnp.argmax(pr_logits, -1), pr_w,
+    )
+
     return {
         "event_correct": state["event_correct"] + ev_correct.sum(),
         "event_count": state["event_count"] + ev_w.sum(),
@@ -97,6 +115,8 @@ def update_metric_state(
         "event_neg": event_neg,
         "prong_pos": prong_pos,
         "prong_neg": prong_neg,
+        "event_confusion": event_confusion,
+        "prong_confusion": prong_confusion,
         "loss_sum": state["loss_sum"] + loss,
         "loss_count": state["loss_count"] + 1.0,
     }
@@ -145,4 +165,6 @@ def finalize_metrics(state) -> Dict[str, float]:
         "val_loss": float(s["loss_sum"] / max(s["loss_count"], 1.0)),
         "event_auc_per_class": ev_auc_per_class,
         "prong_auc_per_class": pr_auc_per_class,
+        "event_confusion": s["event_confusion"],
+        "prong_confusion": s["prong_confusion"],
     }

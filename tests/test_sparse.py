@@ -119,6 +119,28 @@ def test_coo_conv_matches_dense_engine(kernel, stride):
     np.testing.assert_array_equal(coo_occ, dense_occ)
 
 
+def test_sparse_densenet_remat_same_params():
+    from dune_transformercvn_tpu.models.sparse_densenet import SparseDenseNet
+
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(
+        (rng.uniform(size=(2, 32, 24, 3)) < 0.1).astype(np.float32) * 0.5
+    )
+    kwargs = dict(output_dim=8, initial_features=8, growth_rate=4,
+                  batch_norm_size=2, block_config=(1, 1))
+    plain = SparseDenseNet(**kwargs)
+    remat = SparseDenseNet(remat=True, **kwargs)
+    v = jax.jit(plain.init)(jax.random.PRNGKey(0), imgs)
+
+    def loss(net, v):
+        return jnp.sum(net.apply(v, imgs, mutable=["batch_stats"])[0])
+
+    g1 = jax.jit(jax.grad(lambda v: loss(plain, v)))(v)
+    g2 = jax.jit(jax.grad(lambda v: loss(remat, v)))(v)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_sparse_chain_differentiable_under_jit():
     """Regression: reduce_window with an abstract init value silently breaks
     reverse-mode autodiff under jit (must stay a concrete scalar)."""

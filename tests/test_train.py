@@ -202,6 +202,20 @@ def test_metrics_exclude_invalid_events():
         )
 
 
+def test_streaming_confusion_matrix():
+    ev = jnp.asarray([[3.0, 0, 0, 0], [0, 3.0, 0, 0], [0, 0, 3.0, 0]])
+    et = jnp.asarray([0, 2, -1])  # last row invalid
+    pr = jnp.zeros((3, 1, 8)).at[:, 0, 1].set(5.0)
+    pt = jnp.asarray([[1], [0], [-1]])
+    state = update_metric_state(
+        init_metric_state(4, 8, 64), ev, et, pr, pt, jnp.asarray(0.0)
+    )
+    cm = np.asarray(state["event_confusion"])
+    assert cm[0, 0] == 1 and cm[2, 1] == 1 and cm.sum() == 2
+    pcm = np.asarray(state["prong_confusion"])
+    assert pcm[1, 1] == 1 and pcm[0, 1] == 1 and pcm.sum() == 2
+
+
 def test_checkpoint_ranking_handles_none_and_nan(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ck"), top_k=2)
     mgr.save(make_fake_state(1.0), 1, None)
