@@ -265,10 +265,13 @@ class Batcher:
             rng.shuffle(order)
         return order
 
-    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch: int = 0, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield the epoch's batches, optionally starting at ``start_batch``
+        (mid-epoch resume: skipping happens in index space, before any
+        assembly or transfer)."""
         order = self.epoch_indices(epoch)
         n_full = len(order) // self.batch_size
-        for k in range(n_full):
+        for k in range(start_batch, n_full):
             yield self.build_batch(order[k * self.batch_size:(k + 1) * self.batch_size])
         if not self.drop_last and len(order) % self.batch_size:
             yield self._tail_batch(order)
@@ -281,17 +284,19 @@ class Batcher:
         return self.build_batch(pad, valid=valid)
 
     def prefetch_epoch(
-        self, epoch: int = 0, depth: int = 2, num_workers: int = 1
+        self, epoch: int = 0, depth: int = 2, num_workers: int = 1,
+        start_batch: int = 0,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Epoch iterator with background prefetch.
 
         ``num_workers > 1`` runs batch assembly on a thread pool (the role of
         the reference's DataLoader worker processes; numpy/h5 slicing release
-        the GIL) while preserving batch order; ``depth`` bounds how many
-        prepared batches may be in flight.
+        the GIL) while preserving batch order; ``depth`` strictly bounds how
+        many prepared batches may be in flight (it also caps the effective
+        pool parallelism — raise both together for multi-core hosts).
         """
         if num_workers > 1:
-            yield from self._pool_epoch(epoch, depth, num_workers)
+            yield from self._pool_epoch(epoch, depth, num_workers, start_batch)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=depth)
@@ -300,7 +305,7 @@ class Batcher:
 
         def worker():
             try:
-                for item in self.epoch(epoch):
+                for item in self.epoch(epoch, start_batch):
                     q.put(item)
             except BaseException as e:  # propagate to consumer
                 err.append(e)
@@ -317,20 +322,22 @@ class Batcher:
                 return
             yield item
 
-    def _pool_epoch(self, epoch: int, depth: int, num_workers: int):
+    def _pool_epoch(self, epoch: int, depth: int, num_workers: int,
+                    start_batch: int = 0):
         from concurrent.futures import ThreadPoolExecutor
 
         order = self.epoch_indices(epoch)
         starts = list(range(0, len(order) - self.batch_size + 1, self.batch_size))
         if not self.drop_last and len(order) % self.batch_size:
             starts.append(-1)  # wrap-pad tail marker
+        starts = starts[start_batch:]
 
         def build(start):
             if start < 0:
                 return self._tail_batch(order)
             return self.build_batch(order[start:start + self.batch_size])
 
-        window = max(depth, num_workers)
+        window = max(depth, 1)  # depth strictly bounds in-flight batches
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
             futures = [pool.submit(build, s) for s in starts[:window]]
             cursor = window

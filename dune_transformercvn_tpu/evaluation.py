@@ -157,6 +157,48 @@ def save_predictions_h5(
             f.create_dataset("prong_event_index", data=prong_event_index)
 
 
+def _fit_names(names, num_classes: int):
+    """Class-name list sized to the probability columns (10-class models
+    evaluated with the 4 coarse names would otherwise crash/skew plots)."""
+    names = list(names)
+    if len(names) == num_classes:
+        return names
+    return [
+        names[i] if i < len(names) else f"class_{i}" for i in range(num_classes)
+    ]
+
+
+def confusion_figure(matrix: np.ndarray, names, title: str = ""):
+    """Row-normalized confusion heatmap; the one shared renderer used by
+    both the offline plots and the TensorBoard validation figures."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    matrix = np.asarray(matrix, dtype=np.float64)
+    names = _fit_names(names, matrix.shape[0])
+    with np.errstate(invalid="ignore"):
+        norm = matrix / np.maximum(matrix.sum(1, keepdims=True), 1.0)
+    fig, ax = plt.subplots(figsize=(7, 6))
+    im = ax.imshow(norm, cmap="Blues", vmin=0, vmax=1)
+    ax.set_xticks(range(len(names)), names, rotation=45, ha="right", fontsize=7)
+    ax.set_yticks(range(len(names)), names, fontsize=7)
+    if len(names) <= 12:
+        for i in range(len(names)):
+            for j in range(len(names)):
+                ax.text(j, i, f"{norm[i, j]:.2f}", ha="center", va="center",
+                        fontsize=7,
+                        color="white" if norm[i, j] > 0.5 else "black")
+    ax.set_xlabel("Predicted")
+    ax.set_ylabel("True")
+    if title:
+        ax.set_title(title)
+    fig.colorbar(im)
+    fig.tight_layout()
+    return fig
+
+
 def save_plots(
     output_dir: str,
     event_probs, event_targets, prong_probs, prong_targets,
@@ -175,6 +217,8 @@ def save_plots(
 
     os.makedirs(output_dir, exist_ok=True)
     written = []
+    event_names = _fit_names(event_names, event_probs.shape[1])
+    prong_names = _fit_names(prong_names, prong_probs.shape[1])
 
     def roc_figure(probs, targets, names, title, path):
         fig, ax = plt.subplots(figsize=(7, 6))
@@ -195,24 +239,9 @@ def save_plots(
         plt.close(fig)
         written.append(path)
 
-    def confusion_figure(predictions, targets, names, title, path):
-        cm = confusion_matrix(predictions, targets, len(names)).astype(np.float64)
-        with np.errstate(invalid="ignore"):
-            cm_norm = cm / np.maximum(cm.sum(1, keepdims=True), 1.0)
-        fig, ax = plt.subplots(figsize=(7, 6))
-        im = ax.imshow(cm_norm, cmap="Blues", vmin=0, vmax=1)
-        ax.set_xticks(range(len(names)), names, rotation=45, ha="right", fontsize=7)
-        ax.set_yticks(range(len(names)), names, fontsize=7)
-        for i in range(len(names)):
-            for j in range(len(names)):
-                ax.text(j, i, f"{cm_norm[i, j]:.2f}", ha="center", va="center",
-                        fontsize=7,
-                        color="white" if cm_norm[i, j] > 0.5 else "black")
-        ax.set_xlabel("Predicted")
-        ax.set_ylabel("True")
-        ax.set_title(title)
-        fig.colorbar(im)
-        fig.tight_layout()
+    def save_confusion(predictions, targets, names, title, path):
+        cm = confusion_matrix(predictions, targets, len(names))
+        fig = confusion_figure(cm, names, title)
         fig.savefig(path, dpi=120)
         plt.close(fig)
         written.append(path)
@@ -221,10 +250,10 @@ def save_plots(
                os.path.join(output_dir, "event_roc.png"))
     roc_figure(prong_probs, prong_targets, prong_names, "Prong ROC",
                os.path.join(output_dir, "prong_roc.png"))
-    confusion_figure(event_probs.argmax(1), event_targets, event_names,
-                     "Event confusion", os.path.join(output_dir, "event_confusion.png"))
-    confusion_figure(prong_probs.argmax(1), prong_targets, prong_names,
-                     "Prong confusion", os.path.join(output_dir, "prong_confusion.png"))
+    save_confusion(event_probs.argmax(1), event_targets, event_names,
+                   "Event confusion", os.path.join(output_dir, "event_confusion.png"))
+    save_confusion(prong_probs.argmax(1), prong_targets, prong_names,
+                   "Prong confusion", os.path.join(output_dir, "prong_confusion.png"))
     return written
 
 

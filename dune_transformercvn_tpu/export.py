@@ -224,11 +224,11 @@ def main():  # pragma: no cover
     if args.check:
         import json as _json
 
-        meta_path = next(
-            p for p in os.listdir(os.path.dirname(next(iter(paths.values()))))
-            if p.endswith("_export_meta.json")
-        )
-        with open(os.path.join(os.path.dirname(next(iter(paths.values()))), meta_path)) as f:
+        export_dir = os.path.dirname(next(iter(paths.values())))
+        meta_path = os.path.join(export_dir, "transformercvn_export_meta.json")
+        if not os.path.exists(meta_path):
+            raise SystemExit(f"export metadata missing: {meta_path}")
+        with open(meta_path) as f:
             meta = _json.load(f)
         shape = meta["input_shape"]
         for variant, path in paths.items():

@@ -139,8 +139,13 @@ class InducedSetAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, mask=None, train: bool = False):
-        """``tokens``: [B, T, D]; ``mask``: [B, T] bool."""
+        """``tokens``: [B, T, D]; ``mask``: [B, T] bool.  Inputs whose
+        feature width differs from ``hidden_dim`` are projected first (the
+        residual adds inside the decoder layers require matching widths)."""
         B, T, D = tokens.shape
+        if D != self.hidden_dim:
+            tokens = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                              param_dtype=jnp.float32, name="input_projection")(tokens)
         inducing = self.param(
             "inducing_points",
             nn.initializers.xavier_uniform(),

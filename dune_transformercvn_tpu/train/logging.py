@@ -59,22 +59,11 @@ class MetricLogger:
         if not self.enabled or self._tb is None:
             return
         try:
-            import matplotlib
-
-            matplotlib.use("Agg")
             import matplotlib.pyplot as plt
-            import numpy as np
 
-            matrix = np.asarray(matrix, dtype=np.float64)
-            norm = matrix / np.maximum(matrix.sum(1, keepdims=True), 1.0)
-            fig, ax = plt.subplots(figsize=(6, 5))
-            ax.imshow(norm, cmap="Blues", vmin=0, vmax=1)
-            ax.set_xticks(range(len(class_names)), class_names,
-                          rotation=45, ha="right", fontsize=7)
-            ax.set_yticks(range(len(class_names)), class_names, fontsize=7)
-            ax.set_xlabel("Predicted")
-            ax.set_ylabel("True")
-            fig.tight_layout()
+            from ..evaluation import confusion_figure
+
+            fig = confusion_figure(matrix, class_names)
             self._tb.add_figure(tag, fig, step)
             plt.close(fig)
         except Exception:

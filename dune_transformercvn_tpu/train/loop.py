@@ -357,19 +357,23 @@ class Trainer:
         start_epoch = start_step // self.steps_per_epoch
         step = start_step
         last_eval_step = -1
-        # mid-epoch resume: skip the batches the checkpointed step already
-        # consumed (the epoch order is deterministic in (seed, epoch))
-        skip_batches = start_step % self.steps_per_epoch
+        # mid-epoch resume: skip the already-consumed batches of the resumed
+        # epoch in index space — nothing is assembled or transferred for them
+        # (the epoch order is deterministic in (seed, epoch))
+        resume_skip = start_step % self.steps_per_epoch
         t_start = time.time()
         window_start, window_events = time.time(), 0
 
         for epoch in range(start_epoch, options.epochs):
+            start_batch, resume_skip = resume_skip, 0
             for batch in self._device_prefetch(
-                self.train_batcher.prefetch_epoch(epoch, num_workers=self.num_workers)
+                self.train_batcher.prefetch_epoch(
+                    epoch,
+                    depth=max(2, self.num_workers),
+                    num_workers=self.num_workers,
+                    start_batch=start_batch,
+                )
             ):
-                if skip_batches > 0:
-                    skip_batches -= 1
-                    continue
                 if step >= limit:
                     break
                 if profile_dir is not None and step - start_step == 10:
@@ -428,6 +432,7 @@ class Trainer:
         if step != last_eval_step:
             last_val = self.validate()
             self.logger.log_scalars(last_val, step)
+            self._log_confusions(last_val, step)
             self._checkpoint(last_val)
             for callback in self.callbacks:
                 callback(step, last_val)

@@ -117,8 +117,9 @@ def update_metric_state(
         "prong_neg": prong_neg,
         "event_confusion": event_confusion,
         "prong_confusion": prong_confusion,
-        "loss_sum": state["loss_sum"] + loss,
-        "loss_count": state["loss_count"] + 1.0,
+        # weight by valid events so all-padding shards/batches don't deflate
+        "loss_sum": state["loss_sum"] + loss * ev_w.sum(),
+        "loss_count": state["loss_count"] + ev_w.sum(),
     }
 
 

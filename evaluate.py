@@ -92,6 +92,16 @@ def main():
     )
     print(render_report(results, event_names, PRONG_CLASS_NAMES))
 
+    # write the (expensive) predictions before any plotting can fail
+    output = args.output or os.path.join(args.run_dir, "eval_predictions.h5")
+    save_predictions_h5(
+        output,
+        predictions["event_probabilities"], predictions["event_targets"],
+        predictions["prong_probabilities"], predictions["prong_targets"],
+        predictions["prong_event_index"],
+    )
+    print(f"Predictions written to {output}")
+
     if args.plots:
         from dune_transformercvn_tpu.evaluation import save_plots
 
@@ -103,15 +113,6 @@ def main():
         )
         for path in written:
             print(f"Plot written: {path}")
-
-    output = args.output or os.path.join(args.run_dir, "eval_predictions.h5")
-    save_predictions_h5(
-        output,
-        predictions["event_probabilities"], predictions["event_targets"],
-        predictions["prong_probabilities"], predictions["prong_targets"],
-        predictions["prong_event_index"],
-    )
-    print(f"Predictions written to {output}")
 
 
 if __name__ == "__main__":

@@ -153,7 +153,8 @@ if __name__ == "__main__":
     parser.add_argument("-fp32", action="store_true",
                         help="Force float32 compute.")
     parser.add_argument("-g", "--graph", action="store_true",
-                        help="Accepted for compatibility (graph logging).")
+                        help="Dump the lowered train-step StableHLO into the "
+                             "run dir (train_step.stablehlo.txt).")
     parser.add_argument("-v", "--verbose", action="store_true",
                         help="Output additional information.")
     parser.add_argument("-b", "--batch_size", type=int, default=None,
