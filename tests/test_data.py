@@ -161,6 +161,22 @@ def test_batcher_fixed_shape_single_signature(synthetic_file):
     assert fb["slot_mask"].sum() == db["slot_mask"].sum()
 
 
+def test_batcher_start_batch_skips_in_index_space(synthetic_file):
+    """Mid-epoch resume: epoch(start_batch=k) yields exactly the suffix of
+    epoch(0) — same batches, nothing rebuilt or reordered."""
+    ds = EventDataset(synthetic_file)
+    batcher = Batcher(ds, batch_size=16, shuffle=True, seed=9)
+    full = list(batcher.epoch(3))
+    suffix = list(batcher.epoch(3, start_batch=2))
+    assert len(suffix) == len(full) - 2
+    for a, b in zip(full[2:], suffix):
+        np.testing.assert_array_equal(a["event_targets"], b["event_targets"])
+    # pool path agrees as well
+    pooled = list(batcher.prefetch_epoch(3, num_workers=3, start_batch=2))
+    for a, b in zip(suffix, pooled):
+        np.testing.assert_array_equal(a["event_targets"], b["event_targets"])
+
+
 def test_batcher_epoch_shuffle_determinism(synthetic_file):
     ds = EventDataset(synthetic_file)
     batcher = Batcher(ds, batch_size=16, shuffle=True, seed=3)
