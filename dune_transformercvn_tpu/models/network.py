@@ -215,6 +215,17 @@ def create_pixel_embedder(cfg: ModelConfig, output_dim: int, name: str) -> nn.Mo
             axis_name=cfg.axis_name,
             name=name,
         )
+    if cfg.embedder == "fcnn":
+        from .sparse_fcnn import SparseFCNN
+
+        return SparseFCNN(
+            output_dim=output_dim,
+            initial_features=cfg.initial_pixel_dim,
+            dropout=cfg.dropout,
+            dtype=cfg.dtype,
+            axis_name=cfg.axis_name,
+            name=name,
+        )
     raise ValueError(f"unknown embedder family: {cfg.embedder}")
 
 

@@ -9,6 +9,7 @@ from dune_transformercvn_tpu.models.mobilenet import MobileNetV2
 from dune_transformercvn_tpu.models.pooling import MaskedSoftmaxPooling, MultiHeadPooling
 from dune_transformercvn_tpu.models.resnet import ResNetStack
 from dune_transformercvn_tpu.models.sparse_convnext import SparseConvNeXt
+from dune_transformercvn_tpu.models.sparse_fcnn import SparseFCNN
 
 
 def small_images(seed=0, n=3, h=64, w=48, c=3, occupancy=0.05):
@@ -30,8 +31,11 @@ def small_images(seed=0, n=3, h=64, w=48, c=3, occupancy=0.05):
             output_dim=16, hidden_features=(8, 16), hidden_depths=(1, 1),
             drop_path_rate=0.1,
         ),
+        lambda: SparseFCNN(
+            output_dim=16, initial_features=8, stage_features=(8, 16),
+        ),
     ],
-    ids=["mobilenet", "resnet", "convnext"],
+    ids=["mobilenet", "resnet", "convnext", "fcnn"],
 )
 def test_variant_embedder_forward_and_masking(factory):
     net = factory()
@@ -68,7 +72,7 @@ def test_variant_registry_wiring():
 
     o = Options()
     o.initial_pixel_dim = 8
-    for family in ("mobilenet", "resnet", "convnext"):
+    for family in ("mobilenet", "resnet", "convnext", "fcnn"):
         cfg = ModelConfig.from_options(o, 4, 2, 3, 4, 8, embedder=family)
         module = create_pixel_embedder(cfg, 16, "embed")
         assert module is not None

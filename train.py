@@ -42,6 +42,7 @@ def main(
     profile: bool = False,
     debug_nans: bool = False,
     auto_resume: bool = False,
+    log_compiles: bool = False,
     **kwargs,
 ):
     from dune_transformercvn_tpu.config import Options
@@ -95,6 +96,8 @@ def main(
         # NaN-trapping debug mode (SURVEY §5 sanitizer equivalent):
         # aborts with a traceback at the first NaN-producing op.
         jax.config.update("jax_debug_nans", True)
+    if log_compiles:
+        jax.config.update("jax_log_compiles", True)
 
     if jax.process_index() == 0:
         options.display()
@@ -173,7 +176,7 @@ if __name__ == "__main__":
                         help="Use the SDXL-style attention CNN network.")
     parser.add_argument("--embedder", type=str, default=None,
                         choices=["dense", "sdxl", "sparse", "mobilenet",
-                                 "resnet", "convnext"],
+                                 "resnet", "convnext", "fcnn"],
                         help="Pixel-embedder family (generalizes "
                              "--sparse/--sdxl).")
     parser.add_argument("--max_steps", type=int, default=None,
@@ -182,6 +185,9 @@ if __name__ == "__main__":
                         help="Capture a jax.profiler device trace of steps 11-15.")
     parser.add_argument("--debug_nans", action="store_true",
                         help="Abort at the first NaN-producing op.")
+    parser.add_argument("--log_compiles", action="store_true",
+                        help="Log every XLA compilation (diagnose batch-shape "
+                             "recompiles; see static_batch_shapes).")
     parser.add_argument("--auto_resume", action="store_true",
                         help="Continue the latest version dir from its last "
                              "checkpoint (preemption recovery).")
