@@ -1,14 +1,30 @@
+from .coo_conv import ConvMaps, build_conv_maps, coo_conv_apply
+from .losses import class_balanced_loss, sigmoid_focal_loss, softmax_focal_loss
 from .masked import MaskedBatchNorm, PReLU
 from .scatter import densify_images, pack_rows, pad_rows
-from .losses import class_balanced_loss, sigmoid_focal_loss, softmax_focal_loss
+from .sparse import (
+    SparseGrid,
+    from_coo,
+    sparse_avg_pool,
+    sparse_conv,
+    sparse_global_avg_pool,
+)
 
 __all__ = [
+    "ConvMaps",
+    "build_conv_maps",
+    "coo_conv_apply",
+    "class_balanced_loss",
+    "sigmoid_focal_loss",
+    "softmax_focal_loss",
     "MaskedBatchNorm",
     "PReLU",
     "densify_images",
     "pack_rows",
     "pad_rows",
-    "class_balanced_loss",
-    "sigmoid_focal_loss",
-    "softmax_focal_loss",
+    "SparseGrid",
+    "from_coo",
+    "sparse_avg_pool",
+    "sparse_conv",
+    "sparse_global_avg_pool",
 ]
