@@ -140,7 +140,8 @@ class Options:
 
         self.event_prong_loss_proportion: float = 0.5
 
-        # Kept for option-file compatibility; not used (matches reference).
+        # CB-loss beta; unused by the live focal loss (matches reference) but
+        # consumed by the split-event-targets variant's class-balanced loss.
         self.loss_beta: float = 2.5
 
         # Focal-loss exponent; 0 means plain cross-entropy.
@@ -148,6 +149,30 @@ class Options:
 
         # Std of train-time multiplicative pixel noise.
         self.pixel_noise_std: float = 0.01
+
+        # =========================================================================
+        # Capability variants (legacy-informed; SURVEY §2.4)
+        # =========================================================================
+
+        # Dual event heads: 4-way interaction current + 4-way interaction
+        # generation/mode derived from the 10-class detailed target, trained
+        # with the class-balanced focal loss (neutrino_split_trainer.py:82-115,
+        # split_dataset.py:10-23).  Requires event_current_targets = False.
+        self.split_event_targets: bool = False
+
+        # Weight of the generation loss relative to the current loss in split
+        # mode (the reference split trainer reuses event_prong_loss_proportion
+        # for this because it has no prongs; here prongs coexist).
+        self.generation_loss_proportion: float = 0.5
+
+        # Per-class sigmoid BCE event loss instead of softmax focal
+        # (electron_prong_pixel_trainer.py:12-14).
+        self.event_binary_loss: bool = False
+
+        # Prepend a learned classifier token ahead of the event-image token
+        # and decode the event class from it (ClassifierProng,
+        # neutrino_combined_network.py:104-121).
+        self.learned_classifier_token: bool = False
 
         # =========================================================================
         # Miscellaneous Options

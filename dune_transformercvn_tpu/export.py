@@ -94,7 +94,9 @@ def build_inference_fn(model: TransformerCVN, variant: str):
             method=TransformerCVN.forward_from_images,
         )
 
-        event_probs = jax.nn.softmax(event_logits[0], axis=-1)
+        # split-mode models carry generation logits after the first
+        # num_event_classes columns; the exported PID is the current head
+        event_probs = jax.nn.softmax(event_logits[0][: cfg.num_event_classes], axis=-1)
         event_probs = _fold_event_probs(event_probs, cfg.num_event_classes)
         prong_probs = jax.nn.softmax(prong_logits[0], axis=-1)
 

@@ -67,6 +67,13 @@ class ModelConfig:
     max_prongs: int = 20
     num_event_classes: int = 4
     num_prong_classes: int = 8
+    # Split-event-targets variant: extra generation/mode classes appended to
+    # the event head (two linear heads on one token == one wider linear head).
+    num_generation_classes: int = 0
+    # ClassifierProng variant: decode the event class from a learned token
+    # prepended ahead of the event-image token (neutrino_combined_network.py:
+    # 104-121).
+    learned_classifier_token: bool = False
     # embedder family: 'dense' | 'sdxl' | 'sparse'
     embedder: str = "dense"
     # execution
@@ -90,6 +97,14 @@ class ModelConfig:
         embedder: str = "dense",
         axis_name: Optional[str] = None,
     ) -> "ModelConfig":
+        split = bool(getattr(options, "split_event_targets", False))
+        if split and num_event_classes != 10:
+            raise ValueError(
+                "split_event_targets derives current/generation targets from "
+                "the 10-class detailed event target; disable "
+                "event_current_targets (got a "
+                f"{num_event_classes}-class dataset)"
+            )
         return cls(
             hidden_dim=options.hidden_dim,
             initial_feature_dim=options.initial_feature_dim,
@@ -122,8 +137,10 @@ class ModelConfig:
             pixel_channels=pixel_channels,
             image_height=image_shape[0],
             image_width=image_shape[1],
-            num_event_classes=num_event_classes,
+            num_event_classes=4 if split else num_event_classes,
             num_prong_classes=num_prong_classes,
+            num_generation_classes=4 if split else 0,
+            learned_classifier_token=getattr(options, "learned_classifier_token", False),
             embedder=embedder,
             compute_dtype=options.compute_dtype,
             axis_name=axis_name,
@@ -399,6 +416,24 @@ class TransformerCVN(nn.Module):
         sequence_mask = jnp.concatenate(
             [jnp.ones((B, 1), bool), prong_mask.astype(bool)], axis=1
         )
+        # ClassifierProng variant (neutrino_combined_network.py:104-121): a
+        # learned token ahead of the event token; the event class is decoded
+        # from it, the event-image token contributes via attention only.
+        cls_offset = 1 if cfg.learned_classifier_token else 0
+        if cfg.learned_classifier_token:
+            cls_token = self.param(
+                "classifier_embedding",
+                nn.initializers.normal(1.0),
+                (1, 1, cfg.hidden_dim),
+                jnp.float32,
+            )
+            sequence = jnp.concatenate(
+                [jnp.broadcast_to(cls_token, (B, 1, cfg.hidden_dim)).astype(cfg.dtype), sequence],
+                axis=1,
+            )
+            sequence_mask = jnp.concatenate(
+                [jnp.ones((B, 1), bool), sequence_mask], axis=1
+            )
         hidden = TransformerEncoder(
             hidden_dim=cfg.hidden_dim,
             num_heads=cfg.num_attention_heads,
@@ -411,9 +446,15 @@ class TransformerCVN(nn.Module):
         )(sequence, sequence_mask, train)
 
         # ---- heads ------------------------------------------------------------
-        event_logits = EventDecoder(cfg.num_event_classes, dtype=cfg.dtype, name="event_decoder")(
-            hidden[:, 0]
-        )
+        # Split variant: [current ‖ generation] logits from one wider linear —
+        # identical math to the reference's two decoders on the same token
+        # (neutrino_split_trainer.py:45-46); the loss slices the two blocks.
+        event_logits = EventDecoder(
+            cfg.num_event_classes + cfg.num_generation_classes,
+            dtype=cfg.dtype,
+            name="event_decoder",
+        )(hidden[:, 0])
+        prong_tokens_hidden = hidden[:, 1 + cls_offset:]
         prong_logits = ProngDecoder(
             num_classes=cfg.num_prong_classes,
             hidden_dim=cfg.hidden_dim,
@@ -424,11 +465,11 @@ class TransformerCVN(nn.Module):
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,
             name="prong_decoder",
-        )(hidden[:, 1:], prong_mask.astype(bool), train)
+        )(prong_tokens_hidden, prong_mask.astype(bool), train)
 
         return (
             event_logits.astype(jnp.float32),
             prong_logits.astype(jnp.float32),
             hidden[:, 0].astype(jnp.float32),
-            hidden[:, 1:].astype(jnp.float32),
+            prong_tokens_hidden.astype(jnp.float32),
         )

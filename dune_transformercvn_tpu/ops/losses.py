@@ -42,6 +42,34 @@ def softmax_focal_loss(
     return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def split_event_targets(targets: jnp.ndarray):
+    """Derive (current, generation) targets from the 10-class detailed event
+    target, following the split-dataset rules (split_dataset.py:10-23):
+    current = {0..3}→0, {4..7}→1, 8→2, 9→3; generation = target mod 4, defined
+    only when a generation exists (target < 8, i.e. current < 2
+    — neutrino_split_trainer.py:86).  Padding (-1) propagates to both, and
+    generation is -1 wherever invalid, so downstream masking stays uniform.
+    """
+    t = targets
+    current = jnp.where(t < 8, t // 4, t - 6)
+    generation = jnp.where(t < 8, t % 4, -1)
+    invalid = t < 0
+    return jnp.where(invalid, -1, current), jnp.where(invalid, -1, generation)
+
+
+def binary_event_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Per-class sigmoid BCE against one-hot targets — the electron-trainer
+    variant (electron_prong_pixel_trainer.py:12-14).  Padded rows (target < 0)
+    are excluded by weight; the mean runs over all (row, class) cells like
+    ``F.binary_cross_entropy_with_logits``'s default reduction."""
+    logits = logits.astype(jnp.float32)
+    num_classes = logits.shape[-1]
+    one_hot = jax.nn.one_hot(targets, num_classes, dtype=jnp.float32)
+    w = (targets >= 0).astype(jnp.float32)[:, None]
+    bce = jnp.maximum(logits, 0) - logits * one_hot + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return jnp.sum(bce * w) / jnp.maximum(jnp.sum(w) * num_classes, 1.0)
+
+
 def sigmoid_focal_loss(
     labels: jnp.ndarray,   # [N, K] one-hot float
     logits: jnp.ndarray,   # [N, K]
@@ -69,13 +97,21 @@ def class_balanced_loss(
     beta: float,
     gamma: float,
     loss_type: str = "focal",
+    weights: Optional[jnp.ndarray] = None,  # [N] sample weights (validity mask)
 ) -> jnp.ndarray:
     """Class-balanced loss with the reference's hard-coded class weights
-    ``[1, 2, beta, 1/beta]`` (focal_loss.py:60-61)."""
+    ``[1, 2, beta, 1/beta]`` (focal_loss.py:60-61).
+
+    ``weights`` masks out padded rows (the static-shape replacement for the
+    reference's boolean indexing): a zero weight zeroes both the row's one-hot
+    label (removing it from the focal normalizer) and its alpha.
+    """
     num_classes = logits.shape[-1]
     class_weights = jnp.asarray([1.0, 2.0, beta, 1.0 / beta], jnp.float32)
     class_weights = class_weights / class_weights.sum()
     one_hot = jax.nn.one_hot(targets, num_classes, dtype=jnp.float32)
+    if weights is not None:
+        one_hot = one_hot * weights.astype(jnp.float32)[:, None]
     sample_w = (class_weights[None, :num_classes] * one_hot).sum(1, keepdims=True)
     alpha = jnp.broadcast_to(sample_w, one_hot.shape)
 

@@ -236,9 +236,11 @@ class Trainer:
     # -------------------------------------------------------------------------
 
     def validate(self) -> Dict[str, float]:
+        # model_config.num_event_classes == the metric head's class count (the
+        # 4-way current head when split_event_targets, else the dataset's)
         totals = jax.device_put(
             init_metric_state(
-                self.training_dataset.num_event_classes,
+                self.model_config.num_event_classes,
                 self.training_dataset.num_prong_classes,
                 self.options.auc_bins,
             ),
@@ -292,7 +294,13 @@ class Trainer:
             take = min(self.global_batch, len(dataset) - seen)
             mask = batch["prong_targets"][:take] >= 0
             ev_probs.append(probs_e[:take])
-            ev_targets.append(batch["event_targets"][:take])
+            targets = batch["event_targets"][:take]
+            if self.options.split_event_targets:
+                # scores are the 4-way current head; remap targets to match
+                # (split_dataset.py:10-13)
+                current = np.where(targets < 8, targets // 4, targets - 6)
+                targets = np.where(targets < 0, -1, current)
+            ev_targets.append(targets)
             pr_probs.append(probs_p[:take][mask])
             pr_targets.append(batch["prong_targets"][:take][mask])
             rows = np.nonzero(mask)[0] + seen

@@ -26,20 +26,77 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 
-from ..ops.losses import softmax_focal_loss
+from ..ops.losses import (
+    binary_event_loss,
+    class_balanced_loss,
+    softmax_focal_loss,
+    split_event_targets,
+)
 from ..parallel.mesh import DATA_AXIS
 from .metrics import init_metric_state, update_metric_state
 from .state import TrainState
 
 
+def event_metric_view(event_logits, event_targets, num_generation_classes: int):
+    """The (logits, targets) pair classification metrics run on.
+
+    In split mode the event head emits [current ‖ generation] logits over the
+    10-class detailed target; metrics (accuracy/AUC/confusion, like the
+    reference split trainer's current_accuracy) track the 4-way current head.
+    """
+    if num_generation_classes:
+        current_targets, _ = split_event_targets(event_targets)
+        return event_logits[:, :-num_generation_classes], current_targets
+    return event_logits, event_targets
+
+
 def compute_losses(
-    event_logits, prong_logits, event_targets, prong_targets, gamma, event_scale
+    event_logits, prong_logits, event_targets, prong_targets, gamma, event_scale,
+    *,
+    num_generation_classes: int = 0,
+    generation_scale: float = 0.5,
+    loss_beta: float = 2.5,
+    binary_event: bool = False,
 ):
     """Weighted event + masked prong focal loss
     (neutrino_full_base_trainer.py:162-183).  Event rows with target < 0
-    (wrap-padded eval tails) are excluded like padding prongs."""
-    event_weights = (event_targets >= 0).astype(jnp.float32)
-    event_loss = softmax_focal_loss(event_logits, event_targets, gamma, event_weights)
+    (wrap-padded eval tails) are excluded like padding prongs.
+
+    Variants: ``num_generation_classes > 0`` switches the event term to the
+    split trainer's dual class-balanced focal losses over derived
+    current/generation targets (neutrino_split_trainer.py:82-115);
+    ``binary_event`` switches it to per-class sigmoid BCE
+    (electron_prong_pixel_trainer.py:12-14).
+    """
+    extra_metrics = {}
+    if num_generation_classes:
+        current_logits = event_logits[:, :-num_generation_classes]
+        generation_logits = event_logits[:, -num_generation_classes:]
+        current_targets, generation_targets = split_event_targets(event_targets)
+        current_loss = class_balanced_loss(
+            current_targets, current_logits, loss_beta, gamma, "focal",
+            weights=(current_targets >= 0).astype(jnp.float32),
+        )
+        generation_loss = class_balanced_loss(
+            generation_targets, generation_logits, loss_beta, gamma, "focal",
+            weights=(generation_targets >= 0).astype(jnp.float32),
+        )
+        event_loss = current_loss + generation_scale * generation_loss
+        extra_metrics = {
+            "current_loss": current_loss,
+            "generation_loss": generation_loss,
+        }
+        # accuracy below tracks the current head
+        event_logits, event_targets = current_logits, current_targets
+        event_weights = (event_targets >= 0).astype(jnp.float32)
+    else:
+        event_weights = (event_targets >= 0).astype(jnp.float32)
+        if binary_event:
+            event_loss = binary_event_loss(event_logits, event_targets)
+        else:
+            event_loss = softmax_focal_loss(
+                event_logits, event_targets, gamma, event_weights
+            )
 
     Kpr = prong_logits.shape[-1]
     flat_logits = prong_logits.reshape(-1, Kpr)
@@ -63,7 +120,18 @@ def compute_losses(
         "prong_loss": prong_loss,
         "train_event_accuracy": event_accuracy,
         "train_prong_accuracy": prong_accuracy,
+        **extra_metrics,
     }
+
+
+def _loss_kwargs(options) -> Dict:
+    """Options → compute_losses variant kwargs (static per build)."""
+    return dict(
+        num_generation_classes=4 if options.split_event_targets else 0,
+        generation_scale=options.generation_loss_proportion,
+        loss_beta=options.loss_beta,
+        binary_event=options.event_binary_loss,
+    )
 
 
 def make_train_step(model, tx, options, mesh):
@@ -75,6 +143,7 @@ def make_train_step(model, tx, options, mesh):
     """
     gamma = options.loss_gamma
     event_scale = options.event_prong_loss_proportion
+    loss_kwargs = _loss_kwargs(options)
     single = mesh.devices.size == 1
     # BN stats are already mesh-invariant only when the model psums them
     # itself (sync-BN on a >1-device mesh); otherwise reduce here so the
@@ -100,7 +169,7 @@ def make_train_step(model, tx, options, mesh):
         total, metrics = compute_losses(
             event_logits, prong_logits,
             batch["event_targets"], batch["prong_targets"],
-            gamma, event_scale,
+            gamma, event_scale, **loss_kwargs,
         )
         return total, (updates["batch_stats"], metrics)
 
@@ -152,6 +221,8 @@ def make_eval_step(model, options, mesh, num_event_classes, num_prong_classes):
     """
     gamma = options.loss_gamma
     event_scale = options.event_prong_loss_proportion
+    loss_kwargs = _loss_kwargs(options)
+    num_generation = loss_kwargs["num_generation_classes"]
     single = mesh.devices.size == 1
 
     def step_fn(state: TrainState, batch, totals):
@@ -164,11 +235,14 @@ def make_eval_step(model, options, mesh, num_event_classes, num_prong_classes):
         total, _ = compute_losses(
             event_logits, prong_logits,
             batch["event_targets"], batch["prong_targets"],
-            gamma, event_scale,
+            gamma, event_scale, **loss_kwargs,
+        )
+        metric_logits, metric_targets = event_metric_view(
+            event_logits, batch["event_targets"], num_generation
         )
         delta = update_metric_state(
             jax.tree_util.tree_map(jnp.zeros_like, totals),
-            event_logits, batch["event_targets"],
+            metric_logits, metric_targets,
             prong_logits, batch["prong_targets"],
             total,
         )
@@ -187,7 +261,13 @@ def make_eval_step(model, options, mesh, num_event_classes, num_prong_classes):
 
 
 def make_predict_step(model, mesh):
-    """Inference step: per-event softmax scores, gathered across the mesh."""
+    """Inference step: per-event softmax scores, gathered across the mesh.
+
+    In split mode the event scores are the 4-way current head's softmax (the
+    generation head is a training-time auxiliary, as in the reference split
+    trainer, which exposes no inference/export path).
+    """
+    num_event = model.cfg.num_event_classes
 
     def step_fn(state: TrainState, batch):
         event_logits, prong_logits = model.apply(
@@ -197,7 +277,7 @@ def make_predict_step(model, mesh):
             train=False,
         )
         return (
-            jax.nn.softmax(event_logits, axis=-1),
+            jax.nn.softmax(event_logits[:, :num_event], axis=-1),
             jax.nn.softmax(prong_logits, axis=-1),
         )
 

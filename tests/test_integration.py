@@ -91,6 +91,42 @@ def test_resume_round_trip(trainer8, train_file, tmp_path_factory):
         np.testing.assert_array_equal(x, y)
 
 
+def test_split_mode_end_to_end(train_file):
+    """split_event_targets: train a few steps, validate on the current head,
+    and predict with remapped 4-way targets (the NeutrinoSplitTrainer flow)."""
+    o = tiny_train_options(
+        train_file, batch_size=8, num_gpu=1,
+        event_current_targets=False,     # split derives from 10-class targets
+        split_event_targets=True,
+        generation_loss_proportion=0.5,
+    )
+    t = Trainer(o, run_dir=None, debug=True)
+    assert t.model_config.num_event_classes == 4
+    assert t.model_config.num_generation_classes == 4
+
+    metrics = t.validate()
+    assert np.isfinite(metrics["val_loss"])
+    assert metrics["event_confusion"].shape == (4, 4)
+
+    result = t.fit(max_steps=3, eval_interval=3)
+    assert np.isfinite(result["val_loss"])
+
+    preds = t.predict_split("validation")
+    assert preds["event_probabilities"].shape[1] == 4
+    np.testing.assert_allclose(preds["event_probabilities"].sum(1), 1.0, rtol=1e-4)
+    assert preds["event_targets"].max() <= 3
+    assert preds["event_targets"].min() >= 0
+
+
+def test_split_mode_rejects_coarse_targets(train_file):
+    o = tiny_train_options(
+        train_file, batch_size=8, num_gpu=1,
+        event_current_targets=True, split_event_targets=True,
+    )
+    with pytest.raises(ValueError, match="split_event_targets"):
+        Trainer(o, run_dir=None, debug=True)
+
+
 def test_dp8_equals_dp1(train_file, tmp_path_factory):
     """Event-only loss, no noise/dropout: 8-way DP must match single device
     (grad pmean == global gradient; sync-BN keeps statistics identical)."""

@@ -117,6 +117,171 @@ def test_masked_softmax_pooling():
     np.testing.assert_allclose(np.asarray(out3[0]), np.asarray(tokens[0, 0]), atol=1e-5)
 
 
+def test_split_event_target_derivation():
+    """current/generation derivation matches split_dataset.py:10-23 exactly."""
+    from dune_transformercvn_tpu.ops.losses import split_event_targets
+
+    t = np.arange(-1, 10)
+    current, generation = jax.jit(split_event_targets)(jnp.asarray(t))
+    # reference rules: current 0 default, 1 for 4..7, 2 for 8, 3 for 9
+    ref_current = np.zeros_like(t)
+    ref_current[(t > 3) & (t <= 7)] = 1
+    ref_current[t == 8] = 2
+    ref_current[t == 9] = 3
+    ref_current[t < 0] = -1
+    ref_generation = np.where((t >= 0) & (t < 8), t % 4, -1)
+    np.testing.assert_array_equal(np.asarray(current), ref_current)
+    np.testing.assert_array_equal(np.asarray(generation), ref_generation)
+
+
+def test_class_balanced_loss_weights_mask_padding():
+    """A zero-weight (padded) row contributes nothing to the CB loss."""
+    from dune_transformercvn_tpu.ops.losses import class_balanced_loss
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(5, 4)).astype(np.float32))
+    targets = jnp.asarray([0, 1, 2, 3, -1])
+    weights = (targets >= 0).astype(jnp.float32)
+    masked = class_balanced_loss(targets, logits, 2.5, 1.0, "focal", weights=weights)
+    trimmed = class_balanced_loss(targets[:4], logits[:4], 2.5, 1.0, "focal")
+    np.testing.assert_allclose(float(masked), float(trimmed), rtol=1e-6)
+
+
+def test_binary_event_loss_matches_manual_bce():
+    from dune_transformercvn_tpu.ops.losses import binary_event_loss
+
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(6, 4)).astype(np.float32)
+    targets = np.asarray([0, 1, 2, 3, 1, -1])
+    out = float(binary_event_loss(jnp.asarray(logits), jnp.asarray(targets)))
+
+    # manual: mean of elementwise BCE-with-logits over valid rows
+    valid = targets >= 0
+    one_hot = np.eye(4)[targets[valid]]
+    z = logits[valid]
+    bce = np.maximum(z, 0) - z * one_hot + np.log1p(np.exp(-np.abs(z)))
+    np.testing.assert_allclose(out, bce.mean(), rtol=1e-5)
+
+
+def test_split_compute_losses_masks_generation():
+    """Events without a generation (target >= 8) are excluded from the
+    generation loss, mirroring neutrino_split_trainer.py:86-92."""
+    from dune_transformercvn_tpu.ops.losses import class_balanced_loss, split_event_targets
+    from dune_transformercvn_tpu.train.step import compute_losses
+
+    rng = np.random.default_rng(2)
+    B, P = 6, 3
+    event_logits = jnp.asarray(rng.normal(size=(B, 8)).astype(np.float32))
+    prong_logits = jnp.asarray(rng.normal(size=(B, P, 8)).astype(np.float32))
+    event_targets = jnp.asarray([0, 4, 8, 9, 7, -1])
+    prong_targets = jnp.asarray(rng.integers(-1, 8, size=(B, P)))
+
+    total, metrics = compute_losses(
+        event_logits, prong_logits, event_targets, prong_targets,
+        gamma=1.0, event_scale=0.9,
+        num_generation_classes=4, generation_scale=0.5, loss_beta=2.5,
+    )
+    assert np.isfinite(float(total))
+    assert "current_loss" in metrics and "generation_loss" in metrics
+
+    # reproduce the event term by hand on the sliced heads
+    cur_t, gen_t = split_event_targets(event_targets)
+    cur = class_balanced_loss(
+        cur_t, event_logits[:, :4], 2.5, 1.0, "focal",
+        weights=(cur_t >= 0).astype(jnp.float32),
+    )
+    gen = class_balanced_loss(
+        gen_t, event_logits[:, 4:], 2.5, 1.0, "focal",
+        weights=(gen_t >= 0).astype(jnp.float32),
+    )
+    np.testing.assert_allclose(
+        float(metrics["event_loss"]), float(cur) + 0.5 * float(gen), rtol=1e-6
+    )
+    # the generation mask really bites: only targets 0,4,7 have a generation
+    assert np.asarray((gen_t >= 0)).sum() == 3
+
+
+def test_split_and_classifier_token_model(tmp_path):
+    """Full tiny model with split heads + learned classifier token: shapes,
+    param wiring, metric view, and gradient flow into both variants' params."""
+    from functools import partial
+
+    from dune_transformercvn_tpu.config import Options
+    from dune_transformercvn_tpu.data import Batcher, EventDataset
+    from dune_transformercvn_tpu.data.schema import make_synthetic_file
+    from dune_transformercvn_tpu.models import ModelConfig, TransformerCVN
+    from dune_transformercvn_tpu.train.step import compute_losses, event_metric_view
+
+    path = tmp_path / "tiny_split.h5"
+    make_synthetic_file(str(path), num_events=24, seed=3)
+    ds = EventDataset(str(path), event_current_targets=False)
+    ds.compute_statistics()
+    assert ds.num_event_classes == 10
+
+    o = Options()
+    o.densenet_structure = [1, 1]
+    o.densenet_growth_rate = 8
+    o.initial_pixel_dim = 8
+    o.pixel_embedding_dim = 16
+    o.feature_embedding_dim = 8
+    o.position_embedding_dim = 8
+    o.hidden_dim = 32
+    o.num_encoder_layers = 2
+    o.num_prong_decoder_layers = 2
+    o.num_attention_heads = 4
+    o.compute_dtype = "float32"
+    o.split_event_targets = True
+    o.learned_classifier_token = True
+
+    cfg = ModelConfig.from_options(
+        o, ds.num_features, ds.num_extra, ds.pixel_features,
+        ds.num_event_classes, ds.num_prong_classes,
+    )
+    assert cfg.num_event_classes == 4 and cfg.num_generation_classes == 4
+
+    batcher = Batcher(ds, batch_size=4, num_shards=1, coo_granularity=512)
+    batch = {k: jnp.asarray(v) for k, v in batcher.build_batch(np.arange(4)).items()}
+    norm = {
+        "mean": jnp.asarray(ds.mean), "std": jnp.asarray(ds.std),
+        "extra_mean": jnp.asarray(ds.extra_mean), "extra_std": jnp.asarray(ds.extra_std),
+    }
+    model = TransformerCVN(cfg)
+    variables = jax.jit(partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "noise": jax.random.PRNGKey(2)},
+        batch, norm,
+    )
+    assert variables["params"]["classifier_embedding"].shape == (1, 1, 32)
+
+    ev, pr = jax.jit(partial(model.apply, train=False))(variables, batch, norm)
+    assert ev.shape == (4, 8)          # 4 current + 4 generation logits
+    assert pr.shape == (4, 20, ds.num_prong_classes)
+
+    metric_logits, metric_targets = event_metric_view(ev, batch["event_targets"], 4)
+    assert metric_logits.shape == (4, 4)
+    assert int(np.asarray(metric_targets).max()) <= 3
+
+    def loss_fn(params):
+        (evl, prl), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, norm, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(4), "noise": jax.random.PRNGKey(5)},
+        )
+        total, _ = compute_losses(
+            evl, prl, batch["event_targets"], batch["prong_targets"],
+            gamma=1.0, event_scale=0.9, num_generation_classes=4,
+        )
+        return total
+
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+    cls_grad = np.abs(np.asarray(grads["classifier_embedding"])).max()
+    head_grad = np.abs(np.asarray(grads["event_decoder"]["Dense_0"]["kernel"])).max()
+    assert cls_grad > 0 and head_grad > 0
+    # the generation columns of the widened head receive gradient too
+    gen_cols = np.abs(np.asarray(grads["event_decoder"]["Dense_0"]["kernel"])[:, 4:]).max()
+    assert gen_cols > 0
+
+
 def test_multi_head_pooling():
     rng = np.random.default_rng(2)
     tokens = jnp.asarray(rng.normal(size=(2, 6, 16)).astype(np.float32))
