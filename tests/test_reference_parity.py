@@ -299,3 +299,44 @@ def test_full_network_logits_match_reference(tmp_path, norm_first):
     np.testing.assert_allclose(
         np.asarray(ours_ev_t), t2n(ref_ev_t), rtol=5e-3, atol=5e-4
     )
+
+
+def test_split_target_derivation_matches_reference(tmp_path):
+    """Golden check of the split-event-targets derivation: run the ACTUAL
+    reference SplitNeutrinoDataset (split_dataset.py:6-30) on a legacy-schema
+    file and compare its current/generation targets and validity mask with
+    our in-graph split_event_targets."""
+    import h5py
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from transformercvn.dataset.split_dataset import SplitNeutrinoDataset
+
+    from dune_transformercvn_tpu.ops.losses import split_event_targets
+
+    N, P, F, E = 41, 6, 4, 3
+    rng = np.random.default_rng(0)
+    targets = np.concatenate(
+        [np.arange(10), rng.integers(0, 10, N - 10)]
+    ).astype(np.int64)
+    path = str(tmp_path / "legacy.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=rng.normal(size=(N, F, P)).astype(np.float32))
+        f.create_dataset("mask", data=np.ones((N, P), np.bool_))
+        f.create_dataset("extra", data=rng.normal(size=(N, E)).astype(np.float32))
+        f.create_dataset("target", data=targets)
+
+    ref = SplitNeutrinoDataset(path, limit_index=1.0)
+    loaded = ref.targets.numpy()          # reference keeps [min,max) slice
+    ours_current, ours_generation = jax.jit(split_event_targets)(
+        jnp.asarray(loaded)
+    )
+    ours_current = np.asarray(ours_current)
+    ours_generation = np.asarray(ours_generation)
+
+    np.testing.assert_array_equal(ours_current, ref.current_target.numpy())
+    valid = ref.generation_valid.numpy()
+    np.testing.assert_array_equal(ours_generation >= 0, valid)
+    np.testing.assert_array_equal(
+        ours_generation[valid], ref.generation_target.numpy()[valid]
+    )
