@@ -91,11 +91,13 @@ def test_resume_round_trip(trainer8, train_file, tmp_path_factory):
         np.testing.assert_array_equal(x, y)
 
 
-def test_split_mode_end_to_end(train_file):
+@pytest.mark.parametrize("batch,gpus", [(8, 1), (1, 8)], ids=["dp1", "dp8"])
+def test_split_mode_end_to_end(train_file, batch, gpus):
     """split_event_targets: train a few steps, validate on the current head,
-    and predict with remapped 4-way targets (the NeutrinoSplitTrainer flow)."""
+    and predict with remapped 4-way targets (the NeutrinoSplitTrainer flow).
+    dp8 exercises the shard_mapped step with the split loss + metric view."""
     o = tiny_train_options(
-        train_file, batch_size=8, num_gpu=1,
+        train_file, batch_size=batch, num_gpu=gpus,
         event_current_targets=False,     # split derives from 10-class targets
         split_event_targets=True,
         generation_loss_proportion=0.5,
