@@ -69,6 +69,16 @@ def remap_event_current_targets(event_targets: np.ndarray) -> np.ndarray:
     return out
 
 
+def split_current_targets(event_targets: np.ndarray) -> np.ndarray:
+    """Host-side twin of ``ops.losses.split_event_targets``'s current half:
+    the remap above with -1 padding propagated (split_dataset.py:10-13).
+    Kept adjacent to :func:`remap_event_current_targets` so the 10→4 fold
+    lives in one module; a property test pins the two implementations
+    together."""
+    out = remap_event_current_targets(event_targets)
+    return np.where(event_targets < 0, -1, out)
+
+
 def make_synthetic_file(
     path: str,
     num_events: int = 128,

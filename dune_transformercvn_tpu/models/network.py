@@ -98,7 +98,13 @@ class ModelConfig:
         axis_name: Optional[str] = None,
     ) -> "ModelConfig":
         split = bool(getattr(options, "split_event_targets", False))
-        if split and num_event_classes != 10:
+        # The class count is data-inferred (max target + 1), so a detailed
+        # file missing the rare class 9 is still valid; only the 10->4
+        # remap (or an out-of-scheme file) must be rejected.
+        if split and (
+            getattr(options, "event_current_targets", False)
+            or num_event_classes > 10
+        ):
             raise ValueError(
                 "split_event_targets derives current/generation targets from "
                 "the 10-class detailed event target; disable "

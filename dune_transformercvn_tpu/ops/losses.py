@@ -97,21 +97,19 @@ def class_balanced_loss(
     beta: float,
     gamma: float,
     loss_type: str = "focal",
-    weights: Optional[jnp.ndarray] = None,  # [N] sample weights (validity mask)
 ) -> jnp.ndarray:
     """Class-balanced loss with the reference's hard-coded class weights
     ``[1, 2, beta, 1/beta]`` (focal_loss.py:60-61).
 
-    ``weights`` masks out padded rows (the static-shape replacement for the
-    reference's boolean indexing): a zero weight zeroes both the row's one-hot
-    label (removing it from the focal normalizer) and its alpha.
+    Padded rows (target < 0) are excluded automatically — the static-shape
+    replacement for the reference's boolean indexing: ``one_hot`` of an
+    out-of-range target is an all-zero row, which zeroes both the row's alpha
+    and its contribution to the focal normalizer.
     """
     num_classes = logits.shape[-1]
     class_weights = jnp.asarray([1.0, 2.0, beta, 1.0 / beta], jnp.float32)
     class_weights = class_weights / class_weights.sum()
     one_hot = jax.nn.one_hot(targets, num_classes, dtype=jnp.float32)
-    if weights is not None:
-        one_hot = one_hot * weights.astype(jnp.float32)[:, None]
     sample_w = (class_weights[None, :num_classes] * one_hot).sum(1, keepdims=True)
     alpha = jnp.broadcast_to(sample_w, one_hot.shape)
 

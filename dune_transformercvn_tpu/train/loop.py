@@ -168,11 +168,7 @@ class Trainer:
 
         # ---- step functions --------------------------------------------------
         self.train_step = make_train_step(self.model, self.tx, options, self.mesh)
-        self.eval_step = make_eval_step(
-            self.model, options, self.mesh,
-            self.training_dataset.num_event_classes,
-            self.training_dataset.num_prong_classes,
-        )
+        self.eval_step = make_eval_step(self.model, options, self.mesh)
         self.predict_step = make_predict_step(self.model, self.mesh)
 
         # ---- run dir / logging / checkpoints (process-0 IO) ------------------
@@ -297,9 +293,9 @@ class Trainer:
             targets = batch["event_targets"][:take]
             if self.options.split_event_targets:
                 # scores are the 4-way current head; remap targets to match
-                # (split_dataset.py:10-13)
-                current = np.where(targets < 8, targets // 4, targets - 6)
-                targets = np.where(targets < 0, -1, current)
+                from ..data.schema import split_current_targets
+
+                targets = split_current_targets(targets)
             ev_targets.append(targets)
             pr_probs.append(probs_p[:take][mask])
             pr_targets.append(batch["prong_targets"][:take][mask])

@@ -73,13 +73,13 @@ def compute_losses(
         current_logits = event_logits[:, :-num_generation_classes]
         generation_logits = event_logits[:, -num_generation_classes:]
         current_targets, generation_targets = split_event_targets(event_targets)
+        # padded/invalid rows carry target -1, which class_balanced_loss
+        # excludes by construction (all-zero one-hot rows)
         current_loss = class_balanced_loss(
-            current_targets, current_logits, loss_beta, gamma, "focal",
-            weights=(current_targets >= 0).astype(jnp.float32),
+            current_targets, current_logits, loss_beta, gamma, "focal"
         )
         generation_loss = class_balanced_loss(
-            generation_targets, generation_logits, loss_beta, gamma, "focal",
-            weights=(generation_targets >= 0).astype(jnp.float32),
+            generation_targets, generation_logits, loss_beta, gamma, "focal"
         )
         event_loss = current_loss + generation_scale * generation_loss
         extra_metrics = {
@@ -124,10 +124,17 @@ def compute_losses(
     }
 
 
-def _loss_kwargs(options) -> Dict:
-    """Options → compute_losses variant kwargs (static per build)."""
+def _loss_kwargs(options, model) -> Dict:
+    """Options → compute_losses variant kwargs (static per build).  The
+    generation-class count comes from the model config — the single place
+    that decides the widened head's split point."""
+    if options.split_event_targets and options.event_binary_loss:
+        raise ValueError(
+            "split_event_targets and event_binary_loss are mutually "
+            "exclusive event-loss variants; enable at most one"
+        )
     return dict(
-        num_generation_classes=4 if options.split_event_targets else 0,
+        num_generation_classes=model.cfg.num_generation_classes,
         generation_scale=options.generation_loss_proportion,
         loss_beta=options.loss_beta,
         binary_event=options.event_binary_loss,
@@ -143,7 +150,7 @@ def make_train_step(model, tx, options, mesh):
     """
     gamma = options.loss_gamma
     event_scale = options.event_prong_loss_proportion
-    loss_kwargs = _loss_kwargs(options)
+    loss_kwargs = _loss_kwargs(options, model)
     single = mesh.devices.size == 1
     # BN stats are already mesh-invariant only when the model psums them
     # itself (sync-BN on a >1-device mesh); otherwise reduce here so the
@@ -212,7 +219,7 @@ def make_train_step(model, tx, options, mesh):
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def make_eval_step(model, options, mesh, num_event_classes, num_prong_classes):
+def make_eval_step(model, options, mesh):
     """Build the jitted eval step ``(state, batch, totals) -> totals``.
 
     The metric sufficient statistics accumulate ON DEVICE (donated buffer);
@@ -221,7 +228,7 @@ def make_eval_step(model, options, mesh, num_event_classes, num_prong_classes):
     """
     gamma = options.loss_gamma
     event_scale = options.event_prong_loss_proportion
-    loss_kwargs = _loss_kwargs(options)
+    loss_kwargs = _loss_kwargs(options, model)
     num_generation = loss_kwargs["num_generation_classes"]
     single = mesh.devices.size == 1
 

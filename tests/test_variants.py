@@ -134,17 +134,29 @@ def test_split_event_target_derivation():
     np.testing.assert_array_equal(np.asarray(generation), ref_generation)
 
 
-def test_class_balanced_loss_weights_mask_padding():
-    """A zero-weight (padded) row contributes nothing to the CB loss."""
+def test_class_balanced_loss_excludes_padded_rows():
+    """Rows with target -1 (all-zero one-hot) contribute nothing to the CB
+    loss — the static-shape replacement for the reference's boolean trim."""
     from dune_transformercvn_tpu.ops.losses import class_balanced_loss
 
     rng = np.random.default_rng(0)
     logits = jnp.asarray(rng.normal(size=(5, 4)).astype(np.float32))
     targets = jnp.asarray([0, 1, 2, 3, -1])
-    weights = (targets >= 0).astype(jnp.float32)
-    masked = class_balanced_loss(targets, logits, 2.5, 1.0, "focal", weights=weights)
+    padded = class_balanced_loss(targets, logits, 2.5, 1.0, "focal")
     trimmed = class_balanced_loss(targets[:4], logits[:4], 2.5, 1.0, "focal")
-    np.testing.assert_allclose(float(masked), float(trimmed), rtol=1e-6)
+    np.testing.assert_allclose(float(padded), float(trimmed), rtol=1e-6)
+
+
+def test_split_current_targets_numpy_matches_jax():
+    """The host-side (numpy) current-target remap used by predict_split is
+    pinned to the in-graph derivation."""
+    from dune_transformercvn_tpu.data.schema import split_current_targets
+    from dune_transformercvn_tpu.ops.losses import split_event_targets
+
+    t = np.arange(-2, 10)
+    current_np = split_current_targets(t)
+    current_jx, _ = split_event_targets(jnp.asarray(t))
+    np.testing.assert_array_equal(current_np, np.asarray(current_jx))
 
 
 def test_binary_event_loss_matches_manual_bce():
@@ -186,19 +198,29 @@ def test_split_compute_losses_masks_generation():
 
     # reproduce the event term by hand on the sliced heads
     cur_t, gen_t = split_event_targets(event_targets)
-    cur = class_balanced_loss(
-        cur_t, event_logits[:, :4], 2.5, 1.0, "focal",
-        weights=(cur_t >= 0).astype(jnp.float32),
-    )
-    gen = class_balanced_loss(
-        gen_t, event_logits[:, 4:], 2.5, 1.0, "focal",
-        weights=(gen_t >= 0).astype(jnp.float32),
-    )
+    cur = class_balanced_loss(cur_t, event_logits[:, :4], 2.5, 1.0, "focal")
+    gen = class_balanced_loss(gen_t, event_logits[:, 4:], 2.5, 1.0, "focal")
     np.testing.assert_allclose(
         float(metrics["event_loss"]), float(cur) + 0.5 * float(gen), rtol=1e-6
     )
     # the generation mask really bites: only targets 0,4,7 have a generation
     assert np.asarray((gen_t >= 0)).sum() == 3
+
+
+def test_split_and_binary_event_loss_conflict():
+    """The two event-loss variants are mutually exclusive — the build fails
+    loudly instead of silently preferring one."""
+    from types import SimpleNamespace
+
+    from dune_transformercvn_tpu.config import Options
+    from dune_transformercvn_tpu.train.step import _loss_kwargs
+
+    o = Options()
+    o.split_event_targets = True
+    o.event_binary_loss = True
+    model = SimpleNamespace(cfg=SimpleNamespace(num_generation_classes=4))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _loss_kwargs(o, model)
 
 
 def test_split_and_classifier_token_model(tmp_path):
