@@ -1,5 +1,11 @@
 from .coo_conv import ConvMaps, build_conv_maps, coo_conv_apply
-from .losses import class_balanced_loss, sigmoid_focal_loss, softmax_focal_loss
+from .losses import (
+    binary_event_loss,
+    class_balanced_loss,
+    sigmoid_focal_loss,
+    softmax_focal_loss,
+    split_event_targets,
+)
 from .masked import MaskedBatchNorm, PReLU
 from .scatter import densify_images, pack_rows, pad_rows
 from .sparse import (
@@ -14,9 +20,11 @@ __all__ = [
     "ConvMaps",
     "build_conv_maps",
     "coo_conv_apply",
+    "binary_event_loss",
     "class_balanced_loss",
     "sigmoid_focal_loss",
     "softmax_focal_loss",
+    "split_event_targets",
     "MaskedBatchNorm",
     "PReLU",
     "densify_images",
