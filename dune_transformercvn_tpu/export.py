@@ -115,8 +115,25 @@ def export_model(
     norm,
     output_dir: str,
     prefix: str = "transformercvn",
+    platforms: Tuple[str, ...] | None = None,
 ) -> Dict[str, str]:
-    """Serialize the three inference graphs; returns {variant: path}."""
+    """Serialize the three inference graphs; returns {variant: path}.
+
+    Two artifacts per variant:
+
+    * ``{prefix}_{variant}.stablehlo`` — the full ``jax.export`` envelope
+      (calling convention + shapes + platform checks); Python round-trips
+      it with ``jax.export.deserialize``.
+    * ``{prefix}_{variant}.stablehlo.mlirbc`` — the inner StableHLO
+      portable artifact (``exported.mlir_module_serialized``), the bytes
+      the C++ side feeds to ``PJRT_Client_Compile`` as format ``"mlir"``
+      (native/pjrt_loader.cc). PJRT wants this inner module, not the
+      envelope.
+
+    ``platforms`` lowers for specific backends (e.g. ``("tpu",)`` when
+    exporting from a CPU host for the LArSoft TPU hook); ``None`` uses
+    the current default backend.
+    """
     cfg = model.cfg
     os.makedirs(output_dir, exist_ok=True)
 
@@ -127,19 +144,33 @@ def export_model(
     norm = {k: jnp.asarray(v) for k, v in norm.items()}
 
     paths = {}
+    exported_platforms = None
+    output_avals: Dict[str, list] = {}
     for variant in VARIANTS:
         fn = build_inference_fn(model, variant)
         closed = lambda pixels, n, _fn=fn: _fn(variables, norm, pixels, n)
-        exported = jax.export.export(jax.jit(closed))(example_pixels, example_n)
+        export_kwargs = {} if platforms is None else {"platforms": platforms}
+        exported = jax.export.export(jax.jit(closed), **export_kwargs)(
+            example_pixels, example_n)
+        exported_platforms = list(exported.platforms)
+        output_avals[variant] = [
+            {"shape": list(a.shape), "dtype": str(a.dtype)}
+            for a in exported.out_avals
+        ]
         path = os.path.join(output_dir, f"{prefix}_{variant}.stablehlo")
         with open(path, "wb") as f:
             f.write(exported.serialize())
+        with open(path + ".mlirbc", "wb") as f:
+            f.write(exported.mlir_module_serialized)
         paths[variant] = path
 
     with open(os.path.join(output_dir, f"{prefix}_export_meta.json"), "w") as f:
         json.dump(
             {
                 "input_shape": list(pixel_shape),
+                "input_dtypes": ["f32", "i32"],
+                "platforms": exported_platforms,
+                "outputs": output_avals,
                 "max_prongs": cfg.max_prongs,
                 "num_event_classes_folded": 4,
                 "num_prong_classes": cfg.num_prong_classes,

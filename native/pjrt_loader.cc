@@ -1,27 +1,37 @@
 // PJRT loader for the exported TransformerCVN StableHLO graphs.
 //
 // This is the C++ inference hook replacing the reference's
-// TorchScript-in-LArSoft flow (CreateCompiled.ipynb cell 14 -> ART module):
-// it loads a serialized `*.stablehlo` artifact produced by
-// dune_transformercvn_tpu/export.py and executes it through the PJRT C API,
-// which is the stable ABI every XLA backend (TPU libtpu, CPU, GPU) exposes.
+// TorchScript-in-LArSoft flow (CreateCompiled.ipynb cell 14 -> the ART
+// module loads `<prefix>_{pid,embeddings,combined}.torchscript`): it
+// loads the inner StableHLO portable artifact written by
+// dune_transformercvn_tpu/export.py (`*.stablehlo.mlirbc` — the
+// `Exported.mlir_module_serialized` bytes; PJRT_Client_Compile does NOT
+// accept the outer jax.export envelope) and executes it through the
+// PJRT C API, the stable ABI every XLA backend (TPU libtpu, CPU, GPU)
+// exposes.
 //
-// Build (CPU plugin example):
-//   g++ -std=c++17 -O2 pjrt_loader.cc -ldl -o pjrt_loader
-// Run:
-//   ./pjrt_loader /path/to/pjrt_c_api_cpu_plugin.so model_pid.stablehlo
+// Build:   make -C native pjrt_loader
+// Run:     ./pjrt_loader <plugin.so> <model.stablehlo.mlirbc> <meta.json>
+//              <pixels.bin> <num_prongs> <out.bin> [key=int:V|key=str:V ...]
 //
-// The PJRT C API header (pjrt_c_api.h) ships with jaxlib:
-//   python -c "import jaxlib, os; print(os.path.dirname(jaxlib.__file__))"
-// contains include/xla/pjrt/c/pjrt_c_api.h — add that directory with -I.
+//   plugin.so   a PJRT plugin exporting GetPjrtApi (libtpu.so, a CPU
+//               plugin, or this sandbox's tunnel plugin)
+//   meta.json   the `<prefix>_export_meta.json` written by export.py;
+//               the input geometry is read from its "input_shape"
+//   pixels.bin  raw float32 of shape input_shape (event map first, prong
+//               maps padded to max_prongs rows, raw 0-255 counts)
+//   num_prongs  real prong count (the graph masks rows past it)
+//   out.bin     all outputs, each as: u32 rank, i64 dims[rank],
+//               u32 pjrt_dtype, raw bytes (little-endian host layout)
+//   key=...     optional PJRT_Client_Create options (plugin-specific)
 //
-// Calling convention (see <prefix>_export_meta.json): one f32 input
-// [1 + max_prongs, C, H, W] of raw pixel counts (event map first, prong maps
-// padded to max_prongs) plus one i32 scalar with the real prong count; read
-// the first num_prongs rows of the prong outputs.
+// Exit 0 on success. tests/test_pjrt_loader.py builds this, runs the
+// exported `pid` graph on the TPU plugin, and checks the outputs match
+// the Python-side logits.
 
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <dlfcn.h>
 #include <fstream>
@@ -30,58 +40,154 @@
 
 #include "xla/pjrt/c/pjrt_c_api.h"
 
-#define CHECK_PJRT(api, err)                                              \
+static const PJRT_Api* g_api = nullptr;
+
+#define CHECK_PJRT(err, what)                                             \
   do {                                                                    \
-    if (err != nullptr) {                                                 \
-      PJRT_Error_Message_Args msg_args;                                   \
-      msg_args.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;         \
-      msg_args.extension_start = nullptr;                                 \
-      msg_args.error = err;                                               \
-      api->PJRT_Error_Message(&msg_args);                                 \
-      std::fprintf(stderr, "PJRT error: %.*s\n",                          \
-                   static_cast<int>(msg_args.message_size),               \
-                   msg_args.message);                                     \
+    PJRT_Error* _e = (err);                                               \
+    if (_e != nullptr) {                                                  \
+      PJRT_Error_Message_Args _m;                                         \
+      std::memset(&_m, 0, sizeof(_m));                                    \
+      _m.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;               \
+      _m.error = _e;                                                      \
+      g_api->PJRT_Error_Message(&_m);                                     \
+      std::fprintf(stderr, "%s failed: %.*s\n", what,                     \
+                   static_cast<int>(_m.message_size), _m.message);        \
       return 1;                                                           \
     }                                                                     \
   } while (0)
 
 static std::string ReadFile(const char* path) {
   std::ifstream file(path, std::ios::binary);
+  if (!file) {
+    std::fprintf(stderr, "cannot read %s\n", path);
+    std::exit(2);
+  }
   return std::string(std::istreambuf_iterator<char>(file), {});
 }
 
+// Pull "input_shape": [a, b, c, d] out of the export metadata. A full
+// JSON parser is overkill for one fixed-layout key written by our own
+// exporter.
+static std::vector<int64_t> ParseInputShape(const std::string& json) {
+  std::vector<int64_t> dims;
+  size_t key = json.find("\"input_shape\"");
+  if (key == std::string::npos) return dims;
+  size_t open = json.find('[', key);
+  size_t close = json.find(']', open);
+  if (open == std::string::npos || close == std::string::npos) return dims;
+  const char* p = json.c_str() + open + 1;
+  const char* end = json.c_str() + close;
+  while (p < end) {
+    char* next = nullptr;
+    long long v = std::strtoll(p, &next, 10);
+    if (next == p) { ++p; continue; }
+    dims.push_back(v);
+    p = next;
+  }
+  return dims;
+}
+
+// Minimal protobuf writer for the default xla.CompileOptionsProto:
+//   field 3 (len-delim): ExecutableBuildOptionsProto {
+//     field 4 (varint): num_replicas = 1
+//     field 5 (varint): num_partitions = 1
+//   }
+static std::string DefaultCompileOptions() {
+  std::string build;
+  build.push_back(static_cast<char>((4 << 3) | 0));
+  build.push_back(1);
+  build.push_back(static_cast<char>((5 << 3) | 0));
+  build.push_back(1);
+  std::string out;
+  out.push_back(static_cast<char>((3 << 3) | 2));
+  out.push_back(static_cast<char>(build.size()));
+  out += build;
+  return out;
+}
+
 int main(int argc, char** argv) {
-  if (argc < 3) {
-    std::fprintf(stderr, "usage: %s <pjrt_plugin.so> <model.stablehlo>\n",
+  if (argc < 7) {
+    std::fprintf(stderr,
+                 "usage: %s <plugin.so> <model.stablehlo.mlirbc> <meta.json> "
+                 "<pixels.bin> <num_prongs> <out.bin> [key=int:V|key=str:V ...]\n",
                  argv[0]);
     return 2;
   }
+  const char* plugin_path = argv[1];
+  const char* artifact_path = argv[2];
+  const char* meta_path = argv[3];
+  const char* pixels_path = argv[4];
+  const int32_t num_prongs = static_cast<int32_t>(std::atoi(argv[5]));
+  const char* out_path = argv[6];
 
-  // ---- load the backend plugin (libtpu / CPU / GPU) -----------------------
-  void* plugin = dlopen(argv[1], RTLD_NOW | RTLD_LOCAL);
+  // ---- load the backend plugin ---------------------------------------
+  void* plugin = dlopen(plugin_path, RTLD_NOW | RTLD_LOCAL);
   if (plugin == nullptr) {
     std::fprintf(stderr, "dlopen failed: %s\n", dlerror());
     return 1;
   }
-  auto get_api = reinterpret_cast<const PJRT_Api* (*)()>(
-      dlsym(plugin, "GetPjrtApi"));
+  auto get_api =
+      reinterpret_cast<const PJRT_Api* (*)()>(dlsym(plugin, "GetPjrtApi"));
   if (get_api == nullptr) {
     std::fprintf(stderr, "plugin has no GetPjrtApi symbol\n");
     return 1;
   }
-  const PJRT_Api* api = get_api();
+  g_api = get_api();
+  const PJRT_Api* api = g_api;
 
-  // ---- create the client --------------------------------------------------
+  {
+    PJRT_Plugin_Initialize_Args init;
+    std::memset(&init, 0, sizeof(init));
+    init.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
+    CHECK_PJRT(api->PJRT_Plugin_Initialize(&init), "PJRT_Plugin_Initialize");
+  }
+
+  // ---- create the client (plugin-specific options from argv) ---------
+  std::vector<std::string> opt_storage;  // keeps c_str()s alive
+  opt_storage.reserve(static_cast<size_t>(argc) * 2);
+  std::vector<PJRT_NamedValue> options;
+  for (int i = 7; i < argc; ++i) {
+    const char* eq = std::strchr(argv[i], '=');
+    if (eq == nullptr) {
+      std::fprintf(stderr, "bad option (want key=int:V or key=str:V): %s\n",
+                   argv[i]);
+      return 2;
+    }
+    opt_storage.emplace_back(argv[i], eq - argv[i]);  // key
+    const std::string& key = opt_storage.back();
+    PJRT_NamedValue nv;
+    std::memset(&nv, 0, sizeof(nv));
+    nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    nv.name = key.c_str();
+    nv.name_size = key.size();
+    if (std::strncmp(eq + 1, "int:", 4) == 0) {
+      nv.type = PJRT_NamedValue_kInt64;
+      nv.int64_value = std::strtoll(eq + 5, nullptr, 10);
+      nv.value_size = 1;
+    } else if (std::strncmp(eq + 1, "str:", 4) == 0) {
+      opt_storage.emplace_back(eq + 5);
+      nv.type = PJRT_NamedValue_kString;
+      nv.string_value = opt_storage.back().c_str();
+      nv.value_size = opt_storage.back().size();
+    } else {
+      std::fprintf(stderr, "bad option value (want int:V or str:V): %s\n",
+                   argv[i]);
+      return 2;
+    }
+    options.push_back(nv);
+  }
+
   PJRT_Client_Create_Args create_args;
   std::memset(&create_args, 0, sizeof(create_args));
   create_args.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
-  CHECK_PJRT(api, api->PJRT_Client_Create(&create_args));
+  create_args.create_options = options.data();
+  create_args.num_options = options.size();
+  CHECK_PJRT(api->PJRT_Client_Create(&create_args), "PJRT_Client_Create");
   PJRT_Client* client = create_args.client;
 
-  // ---- compile the serialized StableHLO artifact --------------------------
-  // jax.export artifacts are serialized PortableArtifacts; PJRT accepts them
-  // through the "mlir" program format.
-  const std::string artifact = ReadFile(argv[2]);
+  // ---- compile the inner StableHLO portable artifact -----------------
+  const std::string artifact = ReadFile(artifact_path);
   PJRT_Program program;
   std::memset(&program, 0, sizeof(program));
   program.struct_size = PJRT_Program_STRUCT_SIZE;
@@ -91,37 +197,50 @@ int main(int argc, char** argv) {
   program.format = kFormat;
   program.format_size = sizeof(kFormat) - 1;
 
+  const std::string compile_options = DefaultCompileOptions();
   PJRT_Client_Compile_Args compile_args;
   std::memset(&compile_args, 0, sizeof(compile_args));
   compile_args.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
   compile_args.client = client;
   compile_args.program = &program;
-  // Default (empty) CompileOptions proto: single replica, single partition.
-  compile_args.compile_options = nullptr;
-  compile_args.compile_options_size = 0;
-  CHECK_PJRT(api, api->PJRT_Client_Compile(&compile_args));
+  compile_args.compile_options = compile_options.data();
+  compile_args.compile_options_size = compile_options.size();
+  CHECK_PJRT(api->PJRT_Client_Compile(&compile_args), "PJRT_Client_Compile");
   PJRT_LoadedExecutable* executable = compile_args.executable;
+  std::fprintf(stderr, "compiled %s (%zu bytes) through %s\n", artifact_path,
+               artifact.size(), plugin_path);
 
-  std::printf("compiled %s through %s\n", argv[2], argv[1]);
+  // ---- host inputs ----------------------------------------------------
+  const std::string meta = ReadFile(meta_path);
+  const std::vector<int64_t> pixel_dims = ParseInputShape(meta);
+  if (pixel_dims.empty()) {
+    std::fprintf(stderr, "no \"input_shape\" in %s\n", meta_path);
+    return 2;
+  }
+  int64_t pixel_count = 1;
+  for (int64_t d : pixel_dims) pixel_count *= d;
+  const std::string pixels = ReadFile(pixels_path);
+  if (pixels.size() != static_cast<size_t>(pixel_count) * sizeof(float)) {
+    std::fprintf(stderr, "%s holds %zu bytes, input_shape wants %lld floats\n",
+                 pixels_path, pixels.size(),
+                 static_cast<long long>(pixel_count));
+    return 2;
+  }
 
-  // ---- host buffers -------------------------------------------------------
-  // Shapes come from <prefix>_export_meta.json; hard-coded here for the
-  // production geometry: [21, 3, 400, 280] f32 + scalar i32.
-  const int64_t pixel_dims[4] = {21, 3, 400, 280};
-  std::vector<float> pixels(21 * 3 * 400 * 280, 0.0f);
-  int32_t num_prongs = 3;
+  PJRT_Client_Devices_Args devices_args;
+  std::memset(&devices_args, 0, sizeof(devices_args));
+  devices_args.struct_size = PJRT_Client_Devices_Args_STRUCT_SIZE;
+  devices_args.client = client;
+  CHECK_PJRT(api->PJRT_Client_Devices(&devices_args), "PJRT_Client_Devices");
+  if (devices_args.num_devices == 0) {
+    std::fprintf(stderr, "plugin reports zero devices\n");
+    return 1;
+  }
+  PJRT_Device* device = devices_args.devices[0];
 
   auto to_device = [&](const void* data, PJRT_Buffer_Type type,
                        const int64_t* dims, size_t num_dims,
-                       PJRT_Buffer** out) -> const PJRT_Error* {
-    PJRT_Client_DefaultDeviceAssignment_Args dev_args;  // use device 0
-    (void)dev_args;
-    PJRT_Client_Devices_Args devices_args;
-    std::memset(&devices_args, 0, sizeof(devices_args));
-    devices_args.struct_size = PJRT_Client_Devices_Args_STRUCT_SIZE;
-    devices_args.client = client;
-    if (auto* e = api->PJRT_Client_Devices(&devices_args)) return e;
-
+                       PJRT_Buffer** out) -> PJRT_Error* {
     PJRT_Client_BufferFromHostBuffer_Args args;
     std::memset(&args, 0, sizeof(args));
     args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
@@ -132,28 +251,49 @@ int main(int argc, char** argv) {
     args.num_dims = num_dims;
     args.host_buffer_semantics =
         PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
-    args.device = devices_args.devices[0];
-    if (auto* e = api->PJRT_Client_BufferFromHostBuffer(&args)) return e;
+    args.device = device;
+    if (PJRT_Error* e = api->PJRT_Client_BufferFromHostBuffer(&args)) return e;
     PJRT_Event_Await_Args await_args;
     std::memset(&await_args, 0, sizeof(await_args));
     await_args.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
     await_args.event = args.done_with_host_buffer;
-    if (auto* e = api->PJRT_Event_Await(&await_args)) return e;
+    if (PJRT_Error* e = api->PJRT_Event_Await(&await_args)) return e;
+    PJRT_Event_Destroy_Args destroy_args;
+    std::memset(&destroy_args, 0, sizeof(destroy_args));
+    destroy_args.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+    destroy_args.event = args.done_with_host_buffer;
+    api->PJRT_Event_Destroy(&destroy_args);
     *out = args.buffer;
     return nullptr;
   };
 
   PJRT_Buffer* pixel_buffer = nullptr;
   PJRT_Buffer* count_buffer = nullptr;
-  CHECK_PJRT(api, to_device(pixels.data(), PJRT_Buffer_Type_F32, pixel_dims, 4,
-                            &pixel_buffer));
-  CHECK_PJRT(api, to_device(&num_prongs, PJRT_Buffer_Type_S32, nullptr, 0,
-                            &count_buffer));
+  CHECK_PJRT(to_device(pixels.data(), PJRT_Buffer_Type_F32, pixel_dims.data(),
+                       pixel_dims.size(), &pixel_buffer),
+             "BufferFromHostBuffer(pixels)");
+  CHECK_PJRT(to_device(&num_prongs, PJRT_Buffer_Type_S32, nullptr, 0,
+                       &count_buffer),
+             "BufferFromHostBuffer(num_prongs)");
 
-  // ---- execute ------------------------------------------------------------
+  // ---- execute ---------------------------------------------------------
+  PJRT_LoadedExecutable_GetExecutable_Args get_exec;
+  std::memset(&get_exec, 0, sizeof(get_exec));
+  get_exec.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+  get_exec.loaded_executable = executable;
+  CHECK_PJRT(api->PJRT_LoadedExecutable_GetExecutable(&get_exec),
+             "GetExecutable");
+  PJRT_Executable_NumOutputs_Args num_out_args;
+  std::memset(&num_out_args, 0, sizeof(num_out_args));
+  num_out_args.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+  num_out_args.executable = get_exec.executable;
+  CHECK_PJRT(api->PJRT_Executable_NumOutputs(&num_out_args),
+             "Executable_NumOutputs");
+  const size_t num_outputs = num_out_args.num_outputs;
+
   PJRT_Buffer* input_list[2] = {pixel_buffer, count_buffer};
   PJRT_Buffer* const* input_lists[1] = {input_list};
-  std::vector<PJRT_Buffer*> output_storage(8, nullptr);
+  std::vector<PJRT_Buffer*> output_storage(num_outputs, nullptr);
   PJRT_Buffer** output_list = output_storage.data();
   PJRT_Buffer** output_lists[1] = {output_list};
 
@@ -170,24 +310,67 @@ int main(int argc, char** argv) {
   exec_args.num_devices = 1;
   exec_args.num_args = 2;
   exec_args.output_lists = output_lists;
-  CHECK_PJRT(api, api->PJRT_LoadedExecutable_Execute(&exec_args));
+  CHECK_PJRT(api->PJRT_LoadedExecutable_Execute(&exec_args), "Execute");
 
-  // ---- read back output 0 (event scores) ----------------------------------
-  float event_scores[16] = {0};
-  PJRT_Buffer_ToHostBuffer_Args to_host;
-  std::memset(&to_host, 0, sizeof(to_host));
-  to_host.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
-  to_host.src = output_list[0];
-  to_host.dst = event_scores;
-  to_host.dst_size = sizeof(event_scores);
-  CHECK_PJRT(api, api->PJRT_Buffer_ToHostBuffer(&to_host));
-  PJRT_Event_Await_Args await_args;
-  std::memset(&await_args, 0, sizeof(await_args));
-  await_args.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
-  await_args.event = to_host.event;
-  CHECK_PJRT(api, api->PJRT_Event_Await(&await_args));
+  // ---- stream every output to out.bin ---------------------------------
+  std::ofstream out(out_path, std::ios::binary);
+  const uint32_t n_out = static_cast<uint32_t>(num_outputs);
+  out.write(reinterpret_cast<const char*>(&n_out), sizeof(n_out));
+  for (size_t i = 0; i < num_outputs; ++i) {
+    PJRT_Buffer* buf = output_list[i];
 
-  std::printf("event scores: %f %f %f %f\n", event_scores[0], event_scores[1],
-              event_scores[2], event_scores[3]);
+    PJRT_Buffer_Dimensions_Args dim_args;
+    std::memset(&dim_args, 0, sizeof(dim_args));
+    dim_args.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+    dim_args.buffer = buf;
+    CHECK_PJRT(api->PJRT_Buffer_Dimensions(&dim_args), "Buffer_Dimensions");
+
+    PJRT_Buffer_ElementType_Args type_args;
+    std::memset(&type_args, 0, sizeof(type_args));
+    type_args.struct_size = PJRT_Buffer_ElementType_Args_STRUCT_SIZE;
+    type_args.buffer = buf;
+    CHECK_PJRT(api->PJRT_Buffer_ElementType(&type_args), "Buffer_ElementType");
+
+    // Request a dense row-major host layout — a null host_layout means
+    // "device layout", which on TPU is tiled/transposed.
+    std::vector<int64_t> minor_to_major(dim_args.num_dims);
+    for (size_t d = 0; d < dim_args.num_dims; ++d)
+      minor_to_major[d] = static_cast<int64_t>(dim_args.num_dims - 1 - d);
+    PJRT_Buffer_MemoryLayout layout;
+    std::memset(&layout, 0, sizeof(layout));
+    layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+    layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+    layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+    layout.tiled.minor_to_major = minor_to_major.data();
+    layout.tiled.minor_to_major_size = minor_to_major.size();
+
+    // First call with dst=nullptr reports the required host size.
+    PJRT_Buffer_ToHostBuffer_Args to_host;
+    std::memset(&to_host, 0, sizeof(to_host));
+    to_host.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    to_host.src = buf;
+    to_host.host_layout = &layout;
+    CHECK_PJRT(api->PJRT_Buffer_ToHostBuffer(&to_host), "ToHostBuffer(size)");
+    std::vector<char> host(to_host.dst_size);
+    to_host.dst = host.data();
+    CHECK_PJRT(api->PJRT_Buffer_ToHostBuffer(&to_host), "ToHostBuffer(copy)");
+    PJRT_Event_Await_Args await_args;
+    std::memset(&await_args, 0, sizeof(await_args));
+    await_args.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+    await_args.event = to_host.event;
+    CHECK_PJRT(api->PJRT_Event_Await(&await_args), "Await(d2h)");
+
+    const uint32_t rank = static_cast<uint32_t>(dim_args.num_dims);
+    const uint32_t dtype = static_cast<uint32_t>(type_args.type);
+    out.write(reinterpret_cast<const char*>(&rank), sizeof(rank));
+    out.write(reinterpret_cast<const char*>(dim_args.dims),
+              sizeof(int64_t) * rank);
+    out.write(reinterpret_cast<const char*>(&dtype), sizeof(dtype));
+    out.write(host.data(), static_cast<std::streamsize>(host.size()));
+    std::fprintf(stderr, "output %zu: rank %u, %zu bytes, pjrt dtype %u\n", i,
+                 rank, host.size(), dtype);
+  }
+  out.close();
+  std::printf("wrote %zu outputs to %s\n", num_outputs, out_path);
   return 0;
 }
