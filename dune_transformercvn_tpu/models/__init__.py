@@ -1,4 +1,5 @@
 from .blocks import FeatureEmbedding, LinearBlock, make_divisible
+from .coo_densenet import CooStemDenseNet
 from .densenet import DenseNet
 from .encoder import (
     DecoderLayer,
@@ -20,6 +21,7 @@ __all__ = [
     "FeatureEmbedding",
     "LinearBlock",
     "make_divisible",
+    "CooStemDenseNet",
     "DenseNet",
     "DecoderLayer",
     "EncoderLayer",

@@ -74,7 +74,8 @@ class ModelConfig:
     # prepended ahead of the event-image token (neutrino_combined_network.py:
     # 104-121).
     learned_classifier_token: bool = False
-    # embedder family: 'dense' | 'sdxl' | 'sparse'
+    # embedder family: 'dense' | 'coo' | 'sdxl' | 'sparse' | 'mobilenet'
+    # | 'resnet' | 'convnext' | 'fcnn'
     embedder: str = "dense"
     # execution
     compute_dtype: str = "bfloat16"
@@ -189,6 +190,23 @@ def create_pixel_embedder(cfg: ModelConfig, output_dim: int, name: str) -> nn.Mo
             dtype=cfg.dtype,
             name=name,
         )
+    if cfg.embedder == "coo":
+        from .coo_densenet import CooStemDenseNet
+
+        return CooStemDenseNet(
+            output_dim=output_dim,
+            image_height=cfg.image_height,
+            image_width=cfg.image_width,
+            initial_features=cfg.initial_pixel_dim,
+            growth_rate=cfg.densenet_growth_rate,
+            batch_norm_size=cfg.densenet_batch_norm_size,
+            block_config=cfg.densenet_structure,
+            dropout=cfg.dropout,
+            remat=cfg.remat_cnn,
+            dtype=cfg.dtype,
+            axis_name=cfg.axis_name,
+            name=name,
+        )
     if cfg.embedder == "sparse":
         from .sparse_densenet import SparseDenseNet
 
@@ -292,17 +310,33 @@ class TransformerCVN(nn.Module):
         P = batch["slot_batch"].shape[0]
         H, W = cfg.image_height, cfg.image_width
 
-        # ---- densify pixel maps (static scatter-add, padding dropped) -------
-        event_images = densify_images(
-            batch["event_xy"],
-            self.preprocess_values(batch["event_vals"], train),
-            batch["event_owner"], B, H, W,
-        )
-        prong_images = densify_images(
-            batch["prong_xy"],
-            self.preprocess_values(batch["prong_vals"], train),
-            batch["prong_owner"], P, H, W,
-        )
+        # ---- pixel-map inputs -------------------------------------------------
+        # 'coo' embedder: feed the hit banks straight to the sparse stem —
+        # the input images are never densified at full resolution (the ME
+        # execution model, sparse_dense_net.py:39-44).  Every other family
+        # gets the densified NHWC images (static scatter-add, padding dropped).
+        if cfg.embedder == "coo":
+            event_images = (
+                batch["event_xy"],
+                self.preprocess_values(batch["event_vals"], train),
+                batch["event_owner"], B,
+            )
+            prong_images = (
+                batch["prong_xy"],
+                self.preprocess_values(batch["prong_vals"], train),
+                batch["prong_owner"], P,
+            )
+        else:
+            event_images = densify_images(
+                batch["event_xy"],
+                self.preprocess_values(batch["event_vals"], train),
+                batch["event_owner"], B, H, W,
+            )
+            prong_images = densify_images(
+                batch["prong_xy"],
+                self.preprocess_values(batch["prong_vals"], train),
+                batch["prong_owner"], P, H, W,
+            )
 
         event_logits, prong_logits, _, _ = self.forward_from_images(
             event_images,

@@ -1,4 +1,4 @@
-from .coo_conv import ConvMaps, build_conv_maps, coo_conv_apply
+from .coo_conv import ConvMaps, build_conv_maps, coo_conv_apply, coo_stem_conv
 from .losses import (
     binary_event_loss,
     class_balanced_loss,
@@ -20,6 +20,7 @@ __all__ = [
     "ConvMaps",
     "build_conv_maps",
     "coo_conv_apply",
+    "coo_stem_conv",
     "binary_event_loss",
     "class_balanced_loss",
     "sigmoid_focal_loss",

@@ -175,7 +175,7 @@ if __name__ == "__main__":
     parser.add_argument("--sdxl", action="store_true",
                         help="Use the SDXL-style attention CNN network.")
     parser.add_argument("--embedder", type=str, default=None,
-                        choices=["dense", "sdxl", "sparse", "mobilenet",
+                        choices=["dense", "coo", "sdxl", "sparse", "mobilenet",
                                  "resnet", "convnext", "fcnn"],
                         help="Pixel-embedder family (generalizes "
                              "--sparse/--sdxl).")
