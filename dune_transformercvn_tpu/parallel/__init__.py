@@ -1,3 +1,19 @@
-from .mesh import DATA_AXIS, batch_sharding, create_mesh, replicated_sharding
+from .mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    create_mesh,
+    local_batch_rows,
+    local_shard_ids,
+    replicated_sharding,
+    shard_ids_of,
+)
 
-__all__ = ["DATA_AXIS", "batch_sharding", "create_mesh", "replicated_sharding"]
+__all__ = [
+    "DATA_AXIS",
+    "batch_sharding",
+    "create_mesh",
+    "local_batch_rows",
+    "local_shard_ids",
+    "replicated_sharding",
+    "shard_ids_of",
+]

@@ -49,9 +49,30 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
 
+def shard_ids_of(devices_flat, process_index: int) -> list:
+    """Positions along the data axis owned by ``process_index``.
+
+    Pure core of :func:`local_shard_ids` (unit-testable with fake device
+    records — only ``.process_index`` is consulted).  This is the DDP
+    DistributedSampler's rank->rows mapping (reference train.py:123-127):
+    shard s of the global batch belongs to the process hosting device s.
+    """
+    return [
+        s for s, d in enumerate(devices_flat) if d.process_index == process_index
+    ]
+
+
 def local_shard_ids(mesh: Mesh) -> list:
     """Positions along the data axis owned by this process (multi-host)."""
-    me = jax.process_index()
-    return [
-        s for s, d in enumerate(mesh.devices.flat) if d.process_index == me
-    ]
+    return shard_ids_of(mesh.devices.flat, jax.process_index())
+
+
+def local_batch_rows(array: np.ndarray, num_shards: int, shard_ids: Sequence[int]) -> np.ndarray:
+    """Rows of a ``[num_shards * per_shard, ...]`` global batch that this
+    process must feed, concatenated in shard order (the host-local slice
+    ``jax.make_array_from_process_local_data`` expects for a 1-D data mesh).
+    """
+    per_shard = array.shape[0] // num_shards
+    return np.concatenate(
+        [array[s * per_shard:(s + 1) * per_shard] for s in shard_ids]
+    )

@@ -26,6 +26,7 @@ from ..parallel.mesh import (
     DATA_AXIS,
     batch_sharding,
     create_mesh,
+    local_batch_rows,
     local_shard_ids,
     replicated_sharding,
 )
@@ -207,10 +208,7 @@ class Trainer:
             return jax.device_put(batch, self.batch_sharding)
 
         def place(array):
-            per_shard = array.shape[0] // self.num_shards
-            local = np.concatenate(
-                [array[s * per_shard:(s + 1) * per_shard] for s in self._local_shards]
-            )
+            local = local_batch_rows(array, self.num_shards, self._local_shards)
             return jax.make_array_from_process_local_data(
                 self.batch_sharding, local
             )
@@ -367,6 +365,28 @@ class Trainer:
         resume_skip = start_step % self.steps_per_epoch
         t_start = time.time()
         window_start, window_events = time.time(), 0
+        # Metrics are fetched one step late: device_get on the step just
+        # dispatched would stall the host until that step finishes, leaving
+        # the device idle; fetching the previous step's (already computed)
+        # metrics keeps the dispatch pipeline full (VERDICT r1 item 7).
+        pending_log = None  # (step, device metrics) awaiting fetch
+
+        def flush_pending_log():
+            nonlocal pending_log, window_start, window_events
+            if pending_log is None:
+                return
+            log_step, device_metrics = pending_log
+            pending_log = None
+            host = {k: float(v) for k, v in jax.device_get(device_metrics).items()}
+            lr = float(options.learning_rate) * float(self.schedule(log_step))
+            host["lr-AdamW/pg1"] = lr
+            elapsed = time.time() - window_start
+            if elapsed > 0:
+                host["events_per_second"] = window_events / elapsed
+            window_start, window_events = time.time(), 0
+            if not self.verbose:
+                host.pop("grad_norm", None)
+            self.logger.log_scalars(host, log_step)
 
         for epoch in range(start_epoch, options.epochs):
             start_batch, resume_skip = resume_skip, 0
@@ -400,19 +420,12 @@ class Trainer:
                     if self.verbose:
                         print(f"Profiler trace written to {profile_dir}")
 
+                flush_pending_log()
                 if self.logger.enabled and (step % 10 == 0 or step <= 2):
-                    host = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                    lr = float(options.learning_rate) * float(self.schedule(step))
-                    host["lr-AdamW/pg1"] = lr
-                    elapsed = time.time() - window_start
-                    if elapsed > 0:
-                        host["events_per_second"] = window_events / elapsed
-                    window_start, window_events = time.time(), 0
-                    if not self.verbose:
-                        host.pop("grad_norm", None)
-                    self.logger.log_scalars(host, step)
+                    pending_log = (step, metrics)
 
                 if step % eval_interval == 0:
+                    flush_pending_log()
                     last_val = self.validate()
                     last_eval_step = step
                     self.logger.log_scalars(last_val, step)
@@ -431,6 +444,7 @@ class Trainer:
 
         if profiling:  # trace still open (run shorter than 15 steps)
             jax.profiler.stop_trace()
+        flush_pending_log()
 
         # final validation + checkpoint (unless the last step already did it)
         if step != last_eval_step:
