@@ -90,6 +90,11 @@ class SparseConvNeXt(nn.Module):
     @nn.compact
     def __call__(self, images, mask=None, train: bool = False):
         occupancy = jnp.any(images != 0, axis=-1)
+        if mask is not None:
+            # packed-out rows don't exist in ME's sparse tensor; folding the
+            # row mask into the occupancy reproduces that exactly (padded
+            # slots otherwise rely on their images being all-zero)
+            occupancy = occupancy & mask[:, None, None]
         grid = SparseGrid(images.astype(self.dtype), occupancy)
 
         # patchify stem: 4x4 stride-4 conv + LN

@@ -138,6 +138,11 @@ class SparseDenseNet(nn.Module):
             if self.remat else SparseDenseLayer
         )
         occupancy = jnp.any(images != 0, axis=-1)
+        if mask is not None:
+            # packed-out rows don't exist in ME's sparse tensor; folding the
+            # row mask into the occupancy reproduces that exactly (padded
+            # slots otherwise rely on their images being all-zero)
+            occupancy = occupancy & mask[:, None, None]
         grid = SparseGrid(images.astype(self.dtype), occupancy)
 
         # Stem: conv7/2, BN+PReLU, avgpool3/2.
