@@ -130,23 +130,50 @@ def map_encoder_layer(sd, ref_prefix, params, hidden_dim, heads):
     params["LayerNorm_1"]["bias"] = t2n(sd[f"{ref_prefix}.norm2.bias"])
 
 
-@pytest.mark.parametrize("norm_first", [False, True])
-def test_full_network_logits_match_reference(tmp_path, norm_first):
-    NeutrinoDenseNetwork, RefOptions = _import_reference_network()
-
-    # ---- shared tiny configuration ---------------------------------------
-    hidden, heads, layers = 32, 4, 2
-    blocks = [1, 1]
-    common = dict(
-        hidden_dim=hidden, densenet_structure=blocks, densenet_growth_rate=8,
+def _tiny_common(norm_first):
+    return dict(
+        hidden_dim=32, densenet_structure=[1, 1], densenet_growth_rate=8,
         densenet_batch_norm_size=4, initial_pixel_dim=8,
         pixel_embedding_dim=16, feature_embedding_dim=8,
-        position_embedding_dim=8, num_encoder_layers=layers,
-        num_attention_heads=heads, num_prong_decoder_layers=2,
+        position_embedding_dim=8, num_encoder_layers=2,
+        num_attention_heads=4, num_prong_decoder_layers=2,
         dropout=0.0, disable_smart_features=True,
         pixel_noise_std=0.0,  # our model applies noise in-graph at train time
         transformer_activation="gelu", transformer_norm_first=norm_first,
     )
+
+
+@pytest.mark.parametrize("norm_first", [False, True])
+def test_full_network_logits_match_reference(tmp_path, norm_first):
+    _full_network_parity(tmp_path, _tiny_common(norm_first))
+
+
+def test_full_network_parity_production_scale(tmp_path):
+    """The same weight-transplant golden check at the PRODUCTION width
+    (option_files/fdhd_beam_2018prod_2023_08_07.json: hidden 128, DenseNet
+    [3,6,12,6,3] growth 32, 6 encoder layers, 4 prong-decoder layers) —
+    pins fp32 agreement where deeper BN chains could drift (VERDICT r1
+    item 6).  ~75 s on the 1-core CPU host.
+    """
+    common = dict(
+        hidden_dim=128, densenet_structure=[3, 6, 12, 6, 3],
+        densenet_growth_rate=32, densenet_batch_norm_size=4,
+        initial_pixel_dim=64, pixel_embedding_dim=256,
+        feature_embedding_dim=32, position_embedding_dim=32,
+        num_encoder_layers=6, num_attention_heads=8,
+        num_prong_decoder_layers=4,
+        dropout=0.0, disable_smart_features=True, pixel_noise_std=0.0,
+        transformer_activation="gelu", transformer_norm_first=False,
+    )
+    _full_network_parity(tmp_path, common, check_train_mode=False)
+
+
+def _full_network_parity(tmp_path, common, check_train_mode=True):
+    NeutrinoDenseNetwork, RefOptions = _import_reference_network()
+    hidden = common["hidden_dim"]
+    heads = common["num_attention_heads"]
+    layers = common["num_encoder_layers"]
+    blocks = common["densenet_structure"]
 
     ref_options = RefOptions()
     for key, value in common.items():
@@ -215,7 +242,8 @@ def test_full_network_logits_match_reference(tmp_path, norm_first):
 
     pd = params["prong_decoder"]
     pd_stats = stats["prong_decoder"]
-    for i, (lin, bn, act) in enumerate([(0, 1, 2), (3, 4, 5)]):
+    for i in range(common["num_prong_decoder_layers"]):
+        lin, bn, act = 3 * i, 3 * i + 1, 3 * i + 2
         block = pd[f"LinearBlock_{i}"]
         block["Dense_0"]["kernel"] = t2n(sd[f"prong_decoder.hidden_layers.{lin}.weight"]).T
         block["Dense_0"]["bias"] = t2n(sd[f"prong_decoder.hidden_layers.{lin}.bias"])
@@ -278,6 +306,8 @@ def test_full_network_logits_match_reference(tmp_path, norm_first):
         np.asarray(ours_pr)[real], t2n(ref_pr)[real], rtol=2e-3, atol=2e-4
     )
 
+    if not check_train_mode:
+        return
     # ---- train-mode parity: masked BN == the reference's packed BN ---------
     # (dropout/noise are 0; batch statistics are live). Event logits must
     # match exactly — every BN on the event path sees the same packed rows.
