@@ -203,6 +203,20 @@ class Options:
         # exactly one XLA specialization per phase; auto-enabled multi-host.
         self.static_batch_shapes: bool = False
 
+        # Train K optimizer steps per device dispatch (lax.scan over K
+        # stacked batches): amortizes per-step host dispatch latency, which
+        # dominates on slow hosts / remote-device links.  Matches K single
+        # steps up to compiler-fusion rounding (tested).  >1 implies
+        # static_batch_shapes.
+        self.steps_per_dispatch: int = 1
+
+        # Pixel-embedder family ('dense' | 'coo' | 'sdxl' | 'sparse' |
+        # 'mobilenet' | 'resnet' | 'convnext' | 'fcnn').  Recorded into the
+        # run dir's options.json so evaluate.py / export.py rebuild the
+        # correct architecture without re-passing CLI flags (the reference
+        # encodes this in the trainer subclass instead).
+        self.embedder: str = "dense"
+
         # Rematerialize CNN bottlenecks in backward (jax.checkpoint): ~1/3
         # more FLOPs for O(depth) less activation memory (larger batches).
         self.remat_cnn: bool = False

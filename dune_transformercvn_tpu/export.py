@@ -198,7 +198,7 @@ def load_exported(path: str):
 
 
 def export_run_dir(run_dir: str, output_dir=None, checkpoint: str = "best",
-                   embedder: str = "dense") -> Dict[str, str]:
+                   embedder: str = None) -> Dict[str, str]:
     """The CreateCompiled flow: run dir -> three serialized graphs."""
     from .config import Options
     from .train import Trainer
@@ -246,10 +246,15 @@ def main():  # pragma: no cover
     parser.add_argument("--checkpoint", default="best", choices=["best", "last"])
     parser.add_argument("--sdxl", action="store_true")
     parser.add_argument("--sparse", action="store_true")
+    parser.add_argument("--embedder", default=None,
+                        help="Override the embedder family (default: the "
+                             "run's recorded options.json value)")
     parser.add_argument("--check", action="store_true",
                         help="sanity-run each exported artifact")
     args = parser.parse_args()
-    embedder = "sparse" if args.sparse else ("sdxl" if args.sdxl else "dense")
+    embedder = (
+        "sparse" if args.sparse else "sdxl" if args.sdxl else args.embedder
+    )  # None -> the run dir's recorded family
     paths = export_run_dir(args.run_dir, args.output_dir, args.checkpoint, embedder)
     for variant, path in paths.items():
         print(f"{variant}: {path}")

@@ -49,6 +49,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """K-stacked batches ``[K, num_shards*b, ...]`` (multi-step dispatch):
+    replicated along the scan axis, data-sharded along axis 1."""
+    return NamedSharding(mesh, PartitionSpec(None, DATA_AXIS))
+
+
 def shard_ids_of(devices_flat, process_index: int) -> list:
     """Positions along the data axis owned by ``process_index``.
 

@@ -29,7 +29,9 @@ from ..parallel.mesh import (
     local_batch_rows,
     local_shard_ids,
     replicated_sharding,
+    stacked_batch_sharding,
 )
+from ..utils.cache import enable_compile_cache
 from ..utils.rundir import create_run_dir
 from . import schedules
 from .checkpoint import CheckpointManager, restore_from_path
@@ -44,7 +46,7 @@ class Trainer:
     def __init__(
         self,
         options: Options,
-        embedder: str = "dense",
+        embedder: Optional[str] = None,
         name: str = "lightning_logs",
         log_dir: Optional[str] = None,
         run_dir: Optional[str] = None,
@@ -54,6 +56,11 @@ class Trainer:
         log_graph: bool = False,
     ):
         self.options = options
+        # Resolve the embedder family: explicit argument wins, else the
+        # options value (evaluate/export reload it from the run dir's
+        # options.json); record the resolution so options.json carries it.
+        options.embedder = embedder or options.embedder or "dense"
+        embedder = options.embedder
         self.debug = debug
         self.verbose = options.verbose_output if verbose is None else verbose
         # Validation callbacks fn(step, metrics) — the HPO reporting hook
@@ -63,11 +70,15 @@ class Trainer:
         # -g/--graph: dump the lowered train-step StableHLO beside the logs
         # (the TensorBoard log_graph equivalent, train.py:105)
         self.log_graph = log_graph
+        # On-disk XLA executable cache: every Trainer surface (train /
+        # evaluate / export) skips 30-90 s production-size recompiles.
+        enable_compile_cache()
 
         # ---- mesh ------------------------------------------------------------
         self.mesh = create_mesh(options.num_gpu)
         self.num_shards = self.mesh.devices.size
         self.batch_sharding = batch_sharding(self.mesh)
+        self.stacked_sharding = stacked_batch_sharding(self.mesh)
         self.state_sharding = replicated_sharding(self.mesh)
         # Multi-host: every host assembles the identical (deterministic)
         # global batch and feeds only its own shards; process 0 owns IO —
@@ -107,6 +118,10 @@ class Trainer:
             )
         self.total_steps = self.steps_per_epoch * options.epochs
 
+        # Multi-step dispatch (lax.scan over K stacked batches per device
+        # call) amortizes per-step host dispatch latency; stacking requires
+        # one static batch signature.
+        self.steps_per_dispatch = max(1, int(options.steps_per_dispatch))
         batcher_kwargs = dict(
             batch_size=self.global_batch,
             num_shards=self.num_shards,
@@ -115,7 +130,11 @@ class Trainer:
             seed=options.seed,
             # multi-host REQUIRES shape agreement across hosts without
             # communication; otherwise opt-in to bound recompilation
-            fixed_shape=options.static_batch_shapes or self.multi_process,
+            fixed_shape=(
+                options.static_batch_shapes
+                or self.multi_process
+                or self.steps_per_dispatch > 1
+            ),
         )
         self.train_batcher = Batcher(self.training_dataset, shuffle=True, **batcher_kwargs)
         # drop_last=False: validation splits smaller than the global batch
@@ -168,7 +187,13 @@ class Trainer:
             print(f"Mesh: {self.num_shards} device(s); global batch {self.global_batch}")
 
         # ---- step functions --------------------------------------------------
-        self.train_step = make_train_step(self.model, self.tx, options, self.mesh)
+        self.train_step = make_train_step(
+            self.model, self.tx, options, self.mesh,
+            steps_per_dispatch=self.steps_per_dispatch,
+        )
+        self._single_train_step = (
+            self.train_step if self.steps_per_dispatch == 1 else None
+        )
         self.eval_step = make_eval_step(self.model, options, self.mesh)
         self.predict_step = make_predict_step(self.model, self.mesh)
 
@@ -198,6 +223,66 @@ class Trainer:
         pending = None
         for batch in host_iterator:
             ready, pending = pending, self._device_batch(batch)
+            if ready is not None:
+                yield ready
+        if pending is not None:
+            yield pending
+
+    def _single_step(self):
+        """The K=1 train step (lazy: only compiled when a run with
+        steps_per_dispatch > 1 actually hits a partial tail group)."""
+        if self._single_train_step is None:
+            self._single_train_step = make_train_step(
+                self.model, self.tx, self.options, self.mesh
+            )
+        return self._single_train_step
+
+    def _device_stacked(self, group):
+        """Stack K host batches into [K, ...] leaves and place them with the
+        scan-axis-replicated, data-sharded layout."""
+        stacked = {k: np.stack([b[k] for b in group]) for k in group[0]}
+        if not self.multi_process:
+            return jax.device_put(stacked, self.stacked_sharding)
+
+        def place(array):
+            local = np.stack([
+                local_batch_rows(a, self.num_shards, self._local_shards)
+                for a in array
+            ])
+            return jax.make_array_from_process_local_data(
+                self.stacked_sharding, local
+            )
+
+        return {k: place(v) for k, v in stacked.items()}
+
+    def _train_dispatch_iter(self, host_iterator, max_batches: int):
+        """Yield ``(took, device_batch, step_fn)`` ready to execute, placed
+        on device one item ahead (H2D overlaps compute).
+
+        With steps_per_dispatch K > 1, full K-groups are stacked for the
+        scanned step; the tail (epoch end or max_batches cutoff) falls back
+        to single-step dispatches so limits are respected exactly.
+        """
+        K = self.steps_per_dispatch
+
+        def prepared():
+            group, taken = [], 0
+            for batch in host_iterator:
+                if taken >= max_batches:
+                    break
+                group.append(batch)
+                taken += 1
+                if K > 1 and len(group) == K:
+                    yield (K, self._device_stacked(group), self.train_step)
+                    group = []
+                elif K == 1:
+                    yield (1, self._device_batch(group.pop()), self.train_step)
+            for batch in group:  # partial tail group -> single steps
+                yield (1, self._device_batch(batch), self._single_step())
+
+        pending = None
+        for item in prepared():
+            ready, pending = pending, item
             if ready is not None:
                 yield ready
         if pending is not None:
@@ -377,7 +462,11 @@ class Trainer:
                 return
             log_step, device_metrics = pending_log
             pending_log = None
-            host = {k: float(v) for k, v in jax.device_get(device_metrics).items()}
+            # scanned steps return [K]-stacked metrics; log the latest step's
+            host = {
+                k: float(np.asarray(v).reshape(-1)[-1])
+                for k, v in jax.device_get(device_metrics).items()
+            }
             lr = float(options.learning_rate) * float(self.schedule(log_step))
             host["lr-AdamW/pg1"] = lr
             elapsed = time.time() - window_start
@@ -390,29 +479,30 @@ class Trainer:
 
         for epoch in range(start_epoch, options.epochs):
             start_batch, resume_skip = resume_skip, 0
-            for batch in self._device_prefetch(
-                self.train_batcher.prefetch_epoch(
-                    epoch,
-                    depth=max(2, self.num_workers),
-                    num_workers=self.num_workers,
-                    start_batch=start_batch,
-                )
+            host_iterator = self.train_batcher.prefetch_epoch(
+                epoch,
+                depth=max(2, self.num_workers),
+                num_workers=self.num_workers,
+                start_batch=start_batch,
+            )
+            for took, batch, step_fn in self._train_dispatch_iter(
+                host_iterator, max_batches=limit - step
             ):
                 if step >= limit:
                     break
-                if profile_dir is not None and step - start_step == 10:
+                if profile_dir is not None and step - start_step >= 10 and not profiling:
                     jax.profiler.start_trace(profile_dir)
                     profiling = True
                 if self.log_graph and self.run_dir is not None:
                     self.log_graph = False
                     path = os.path.join(self.run_dir, "train_step.stablehlo.txt")
                     with open(path, "w") as f:
-                        f.write(self.train_step.lower(self.state, batch).as_text())
+                        f.write(step_fn.lower(self.state, batch).as_text())
                     if self.verbose:
                         print(f"Train-step graph written to {path}")
-                self.state, metrics = self.train_step(self.state, batch)
-                step += 1
-                window_events += self.global_batch
+                self.state, metrics = step_fn(self.state, batch)
+                step += took
+                window_events += self.global_batch * took
                 if profiling and step - start_step >= 15:
                     jax.block_until_ready(self.state.params)
                     jax.profiler.stop_trace()
@@ -421,10 +511,10 @@ class Trainer:
                         print(f"Profiler trace written to {profile_dir}")
 
                 flush_pending_log()
-                if self.logger.enabled and (step % 10 == 0 or step <= 2):
+                if self.logger.enabled and (step % 10 < took or step <= 2):
                     pending_log = (step, metrics)
 
-                if step % eval_interval == 0:
+                if step % eval_interval < took:
                     flush_pending_log()
                     last_val = self.validate()
                     last_eval_step = step

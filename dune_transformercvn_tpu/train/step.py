@@ -141,12 +141,16 @@ def _loss_kwargs(options, model) -> Dict:
     )
 
 
-def make_train_step(model, tx, options, mesh):
+def make_train_step(model, tx, options, mesh, steps_per_dispatch: int = 1):
     """Build the jitted training step; shard_mapped over the data mesh when
     it has more than one device.  On a 1-device mesh every collective is an
     identity, but this backend still materializes them as ops (~140 tiny
     pmeans over the BN-stat pytree cost ~4 ms/step), so the single-device
     path compiles the plain function instead.
+
+    ``steps_per_dispatch > 1`` returns a step that consumes K stacked
+    batches (every leaf ``[K, ...]``) and runs K optimizer steps in one
+    ``lax.scan`` — metrics come back stacked ``[K]`` per entry.
     """
     gamma = options.loss_gamma
     event_scale = options.event_prong_loss_proportion
@@ -208,12 +212,26 @@ def make_train_step(model, tx, options, mesh):
         metrics = dict(metrics, grad_norm=grad_norm)
         return new_state, metrics
 
+    # Multi-step dispatch: lax.scan over K stacked batches ([K, ...] leaves)
+    # inside ONE compiled program.  Per-step host dispatch latency (pytree
+    # traversal + a remote-device round trip) can dominate the step on slow
+    # hosts; scanning K steps amortizes it by K.  The math is bit-identical
+    # to K single dispatches: the per-step RNG folds (state.step, device)
+    # exactly as above, and the optimizer threads through the carry.
+    steps = int(steps_per_dispatch)
+    if steps > 1:
+        def fn(state, batches):
+            return jax.lax.scan(step_fn, state, batches)
+        batch_spec = P(None, DATA_AXIS)
+    else:
+        fn, batch_spec = step_fn, P(DATA_AXIS)
+
     if single:
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return jax.jit(fn, donate_argnums=(0,))
     sharded = jax.shard_map(
-        step_fn,
+        fn,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS)),
+        in_specs=(P(), batch_spec),
         out_specs=(P(), P()),
     )
     return jax.jit(sharded, donate_argnums=(0,))

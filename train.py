@@ -38,6 +38,7 @@ def main(
     sparse: bool,
     sdxl: bool,
     max_steps: Optional[int] = None,
+    steps_per_dispatch: Optional[int] = None,
     embedder: Optional[str] = None,
     profile: bool = False,
     debug_nans: bool = False,
@@ -70,6 +71,8 @@ def main(
     if batch_size is not None:
         print(f"Overriding Batch Size: {batch_size}")
         options.batch_size = batch_size
+    if steps_per_dispatch is not None:
+        options.steps_per_dispatch = steps_per_dispatch
     if threads is not None:
         os.environ["OMP_NUM_THREADS"] = str(threads)
     if fp16:
@@ -181,6 +184,10 @@ if __name__ == "__main__":
                              "--sparse/--sdxl).")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="Stop after N optimizer steps (smoke runs).")
+    parser.add_argument("--steps_per_dispatch", type=int, default=None,
+                        help="Train K steps per device dispatch (lax.scan "
+                             "over K stacked batches; implies static batch "
+                             "shapes).")
     parser.add_argument("--profile", action="store_true",
                         help="Capture a jax.profiler device trace of steps 11-15.")
     parser.add_argument("--debug_nans", action="store_true",
