@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Benchmark: inference throughput of the flagship dense TransformerCVN.
+"""Benchmark: inference + training throughput of the flagship dense
+TransformerCVN.
 
 Protocol mirrors the only published reference number (BASELINE.md): the
 Evaluate.ipynb inference loop ran the production dense network at batch 16
@@ -8,8 +9,19 @@ runs the same network shape (option_files/fdhd_beam_2018prod_2023_08_07.json:
 DenseNet [3,6,12,6,3] growth 32, hidden 128, 6 encoder layers) on one TPU
 chip, batch 16 events, bfloat16 compute, and reports events/second.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+It also times the FULL jitted training step (fwd+bwd+AdamW update) at batch
+16 and at batch 64 (the per-chip practical max here) and derives an MFU
+figure from XLA's compiled cost analysis vs the chip's bf16 peak — the
+BASELINE.md north star is *training* events/sec/chip.
+
+It also measures the largest batch with multi-step dispatch (lax.scan over
+8 stacked batches, options.steps_per_dispatch), which amortizes per-step
+host dispatch latency — the dominant cost of single-step timing here.
+
+Prints ONE JSON line (extra context fields beyond the driver contract):
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "train_b16_events_per_second": N, "train_b64_events_per_second": N,
+   "train_b64_k8_events_per_second": N, "train_b64_k8_mfu": N, ...}
 """
 
 from __future__ import annotations
@@ -23,9 +35,158 @@ import numpy as np
 
 BASELINE_EVENTS_PER_SECOND = 43.2  # Evaluate.ipynb cell 14: 2.70 it/s @ batch 16
 
+# Chip bf16 peak (FLOP/s) by jax device_kind, for the MFU line.  The bench
+# chip here is a v5e ("TPU v5 lite"): 197 TFLOP/s bf16.
+PEAK_BF16_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def _fetch_scalar(out):
+    """Force execution of everything dispatched so far and return a host
+    scalar.  CRITICAL on this backend: ``jax.block_until_ready`` returns
+    early over the axon tunnel (measured: it reports a 4096^3 matmul at
+    29,000 TFLOP/s — 150x the chip's peak), so the only sound completion
+    barrier is a device->host fetch.  The TPU stream executes in dispatch
+    order, so fetching the last result's scalar waits for the whole window.
+    """
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jax.device_get(leaf.ravel()[0]))
+
+
+def _timed_best(fn, *, rounds, repeats=4):
+    """Best-of-`repeats` wall time of `rounds` back-to-back fn() calls,
+    closed by a scalar fetch, minus the measured fetch round-trip floor
+    (~30 ms over the tunnel).  Window length must dwarf the floor —
+    callers pick `rounds` so the window is >= ~0.5 s."""
+    import time as _time
+
+    out = fn()           # warm the fetch path too
+    _fetch_scalar(out)
+    floor = float("inf")
+    for _ in range(3):   # re-fetching ready data measures the RPC round trip
+        start = _time.perf_counter()
+        _fetch_scalar(out)
+        floor = min(floor, _time.perf_counter() - start)
+    best = float("inf")
+    for _ in range(repeats):
+        start = _time.perf_counter()
+        for _ in range(rounds):
+            out = fn()
+        _fetch_scalar(out)
+        best = min(best, _time.perf_counter() - start)
+    return max(best - floor, 1e-9)
+
+
+def _cost_flops(compiled):
+    """XLA's analytic FLOP count of a compiled executable, or None."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        if cost and "flops" in cost:
+            return float(cost["flops"])
+    except Exception:
+        pass
+    return None
+
+
+def train_bench(options, batch_sizes=(16, 64), scan_steps=8):
+    """Full-train-step (fwd+bwd+AdamW) measurements on the production dense
+    config, bf16, one chip — the BASELINE.md north star.
+
+    One parameter init is shared across batch sizes (params are shape-
+    independent; a redundant jitted init costs ~40 s here).  Also measures
+    the largest batch with steps_per_dispatch=`scan_steps` (lax.scan over
+    stacked batches), which amortizes the per-dispatch host latency that
+    dominates single-step timing on this host/tunnel.
+
+    Yields (label, events_per_second, step_time_s, flops_per_step) tuples.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_setup
+    from dune_transformercvn_tpu.data.batcher import Batcher
+    from dune_transformercvn_tpu.parallel.mesh import create_mesh
+    from dune_transformercvn_tpu.train import schedules
+    from dune_transformercvn_tpu.train.optimizer import create_optimizer
+    from dune_transformercvn_tpu.train.state import create_train_state
+    from dune_transformercvn_tpu.train.step import make_train_step
+
+    largest = max(batch_sizes)
+    options.batch_size = largest
+    dataset, _, cfg, model, norm = _synthetic_setup(
+        options, num_events=max(192, 2 * largest), embedder="dense"
+    )
+    batches = {}
+    for bsz in batch_sizes:
+        batcher = Batcher(
+            dataset, batch_size=bsz,
+            coo_granularity=options.coo_bucket_granularity,
+        )
+        batches[bsz] = {
+            k: jnp.asarray(v)
+            for k, v in batcher.build_batch(np.arange(bsz)).items()
+        }
+
+    mesh = create_mesh(1)
+    schedule = schedules.from_options(options, steps_per_epoch=100)
+    tx = create_optimizer(options, schedule)
+    state0 = create_train_state(model, tx, batches[batch_sizes[0]], norm, seed=0)
+
+    def measure(label, bsz, steps_per_dispatch):
+        options.batch_size = bsz
+        batch = batches[bsz]
+        if steps_per_dispatch > 1:
+            batch = {
+                k: jnp.broadcast_to(v, (steps_per_dispatch,) + v.shape)
+                for k, v in batch.items()
+            }
+        state = jax.tree_util.tree_map(jnp.copy, state0)
+        # AOT-compile once; the executable serves BOTH the cost analysis and
+        # the timed loop (a second jit-path compile costs 30-60 s here).
+        step = make_train_step(
+            model, tx, options, mesh, steps_per_dispatch=steps_per_dispatch
+        ).lower(state, batch).compile()
+        flops = _cost_flops(step)
+        state, warm = step(state, batch)  # warm execution + fetch path
+        _fetch_scalar(warm["train_loss"])
+        holder = {"state": state}
+
+        def one_call():
+            holder["state"], metrics = step(holder["state"], batch)
+            return metrics["train_loss"]
+
+        rounds = max(4, 24 // steps_per_dispatch)
+        best = _timed_best(one_call, rounds=rounds)
+        step_time = best / (rounds * steps_per_dispatch)
+        return (label, bsz / step_time, step_time, flops)
+
+    single_flops = {}
+    for bsz in batch_sizes:
+        label, eps, step_time, flops = measure(f"b{bsz}", bsz, 1)
+        single_flops[bsz] = flops
+        yield (label, eps, step_time, flops)
+    # XLA's cost analysis counts a lax.scan body ONCE (not trip-count times),
+    # so the scanned program's per-step FLOPs are the single-step program's.
+    label, eps, step_time, _ = measure(f"b{largest}_k{scan_steps}", largest,
+                                       scan_steps)
+    yield (label, eps, step_time, single_flops.get(largest))
+
 
 def main():
     import jax
+
+    from dune_transformercvn_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from dune_transformercvn_tpu.config import Options
     from __graft_entry__ import _synthetic_setup
@@ -64,22 +225,17 @@ def main():
 
     # Warm up every batch-shape specialization.
     for b in batches:
-        jax.block_until_ready(predict(variables, b, norm))
+        _fetch_scalar(predict(variables, b, norm))
 
-    # Timed loop: best of several windows (the shared/tunneled device shows
-    # +-25% transient variance between runs).
-    rounds = 4
-    best_elapsed = float("inf")
-    for _ in range(4):
-        start = time.perf_counter()
-        for _ in range(rounds):
-            for b in batches:
-                out = predict(variables, b, norm)
-        jax.block_until_ready(out)
-        best_elapsed = min(best_elapsed, time.perf_counter() - start)
+    def all_batches():
+        out = None
+        for b in batches:
+            out = predict(variables, b, norm)
+        return out
 
+    rounds = 8
+    elapsed = _timed_best(all_batches, rounds=rounds)
     events = rounds * len(batches) * options.batch_size
-    elapsed = best_elapsed
     eps = events / elapsed
 
     # auxiliary context for humans (stderr; the driver reads stdout only)
@@ -88,12 +244,37 @@ def main():
         f"{events} events in {elapsed:.2f}s on {jax.devices()[0]}",
         file=sys.stderr,
     )
-    print(json.dumps({
+
+    # ---- training throughput + MFU (BASELINE north star) -------------------
+    record = {
         "metric": "inference_events_per_second",
         "value": round(eps, 2),
         "unit": "events/s (batch 16, dense prod config, 1 chip)",
         "vs_baseline": round(eps / BASELINE_EVENTS_PER_SECOND, 3),
-    }))
+    }
+    peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+    opts = Options.load(
+        os.path.join(os.path.dirname(__file__), "option_files",
+                     "fdhd_beam_2018prod_2023_08_07.json")
+    )
+    opts.compute_dtype = "bfloat16"
+    opts.coo_bucket_granularity = 8192
+    for label, train_eps, step_time, flops in train_bench(opts):
+        record[f"train_{label}_events_per_second"] = round(train_eps, 2)
+        print(
+            f"# train step {label}: {step_time * 1e3:.2f} ms/step, "
+            f"{train_eps:.1f} events/s"
+            + (f", {flops / 1e12:.3f} TFLOP/step (XLA cost analysis)"
+               if flops else ""),
+            file=sys.stderr,
+        )
+        if flops:
+            record[f"train_{label}_tflops_per_step"] = round(flops / 1e12, 3)
+            if peak:
+                record[f"train_{label}_mfu"] = round(
+                    flops / step_time / peak, 4
+                )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

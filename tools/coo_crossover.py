@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Measure the dense-stem vs COO-stem crossover on the real chip.
+
+The genuinely-sparse family (`--embedder coo`) exists because the stem
+conv7/2 at full 400x280 resolution pays dense FLOPs on a ~0.1-1% occupied
+grid (reference sparse_dense_net.py:39-44 uses MinkowskiEngine for exactly
+this reason). This tool times both engines on the production stem shape
+(C_in=3 -> C_out=64, stride 2, batch 16) across occupancies and reports
+where each wins, using the sound timing barrier from bench.py.
+
+    python tools/coo_crossover.py            # prints a table + JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _timed_best  # noqa: E402  (sound fetch-barrier timing)
+
+H, W, C_IN, C_OUT, BATCH = 400, 280, 3, 64, 16
+
+
+def make_inputs(occupancy, rng):
+    """COO bank (bucketed like the batcher) + the equivalent dense images."""
+    import jax.numpy as jnp
+
+    hits_per_image = max(1, int(occupancy * H * W))
+    n = hits_per_image * BATCH
+    bucket = max(1024, 1 << int(np.ceil(np.log2(n))))  # static-shape bucket
+    xy = np.stack([rng.integers(0, H, bucket), rng.integers(0, W, bucket)], 1)
+    vals = rng.uniform(0.1, 1.0, size=(bucket, C_IN)).astype(np.float32)
+    owner = np.concatenate([
+        np.repeat(np.arange(BATCH), hits_per_image),
+        np.full(bucket - n, BATCH),                    # padding rows: OOB
+    ])
+
+    from dune_transformercvn_tpu.ops.scatter import densify_images
+
+    images = densify_images(
+        jnp.asarray(xy.astype(np.int32)), jnp.asarray(vals),
+        jnp.asarray(owner.astype(np.int32)), BATCH, H, W,
+    )
+    return (
+        jnp.asarray(xy.astype(np.int32)),
+        jnp.asarray(vals.astype(np.dtype("bfloat16"))),
+        jnp.asarray(owner.astype(np.int32)),
+        images.astype(np.dtype("bfloat16")),
+        bucket,
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dune_transformercvn_tpu.ops.coo_conv import coo_stem_conv
+
+    rng = np.random.default_rng(0)
+    kernel = jnp.asarray(
+        rng.normal(0, 0.1, size=(7, 7, C_IN, C_OUT)).astype(np.float32)
+    )
+    bias = jnp.asarray(np.zeros(C_OUT, np.float32))
+
+    dense_fn = jax.jit(
+        lambda img: jax.lax.conv_general_dilated(
+            img, kernel.astype(img.dtype), (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(img.dtype)
+    )
+    coo_fn = jax.jit(
+        lambda xy, vals, owner: coo_stem_conv(
+            xy, vals, owner, kernel, bias, BATCH, H, W, 2, 3
+        )
+    )
+
+    results = []
+    for occupancy in (0.001, 0.003, 0.01, 0.03, 0.1):
+        xy, vals, owner, images, bucket = make_inputs(occupancy, rng)
+        dense_t = _timed_best(lambda: dense_fn(images), rounds=50) / 50
+        coo_t = _timed_best(lambda: coo_fn(xy, vals, owner), rounds=50) / 50
+        results.append({
+            "occupancy": occupancy,
+            "coo_bucket_rows": bucket,
+            "dense_ms": round(dense_t * 1e3, 4),
+            "coo_ms": round(coo_t * 1e3, 4),
+            "coo_speedup": round(dense_t / coo_t, 3),
+        })
+        print(
+            f"# occupancy {occupancy:6.3f}: dense {dense_t*1e3:8.3f} ms  "
+            f"coo {coo_t*1e3:8.3f} ms  (bucket {bucket}, "
+            f"speedup {dense_t/coo_t:5.2f}x)",
+            file=sys.stderr, flush=True,
+        )
+
+    print(json.dumps({
+        "bench": "coo_stem_crossover",
+        "device": str(jax.devices()[0]),
+        "shape": f"{BATCH}x{H}x{W}x{C_IN}->conv7/2->{C_OUT}",
+        "results": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
