@@ -184,9 +184,12 @@ def train_bench(options, batch_sizes=(16, 64), scan_steps=8):
 def main():
     import jax
 
-    from dune_transformercvn_tpu.utils.cache import enable_compile_cache
+    from dune_transformercvn_tpu.utils.cache import (
+        enable_compile_cache, enable_fast_prng,
+    )
 
     enable_compile_cache()
+    enable_fast_prng()
 
     from dune_transformercvn_tpu.config import Options
     from __graft_entry__ import _synthetic_setup
