@@ -15,8 +15,10 @@ figure from XLA's compiled cost analysis vs the chip's bf16 peak — the
 BASELINE.md north star is *training* events/sec/chip.
 
 It also measures the largest batch with multi-step dispatch (lax.scan over
-8 stacked batches, options.steps_per_dispatch), which amortizes per-step
-host dispatch latency — the dominant cost of single-step timing here.
+8 stacked batches, options.steps_per_dispatch).  Measured: the production
+step is compute-bound (HBM-roofline), so scan dispatch changes <0.2% here;
+the k8 row exists to prove that, and to cover hosts where dispatch does
+dominate.
 
 Prints ONE JSON line (extra context fields beyond the driver contract):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
@@ -104,8 +106,8 @@ def train_bench(options, batch_sizes=(16, 64), scan_steps=8):
     One parameter init is shared across batch sizes (params are shape-
     independent; a redundant jitted init costs ~40 s here).  Also measures
     the largest batch with steps_per_dispatch=`scan_steps` (lax.scan over
-    stacked batches), which amortizes the per-dispatch host latency that
-    dominates single-step timing on this host/tunnel.
+    stacked batches) to quantify per-dispatch host latency (measured
+    negligible at production scale — the step is HBM-roofline-bound).
 
     Yields (label, events_per_second, step_time_s, flops_per_step) tuples.
     """
