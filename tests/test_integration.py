@@ -64,12 +64,18 @@ def test_training_reduces_loss_and_checkpoints(trainer8):
     assert t.num_shards == 8
     # capture initial train loss by evaluating before training
     before = t.validate()
-    result = t.fit(max_steps=10, eval_interval=5)
+    assert np.isfinite(before["val_loss"])
+    # 40 steps ≈ 3 epochs over the tiny synthetic split.  The learning
+    # assertion is on the TRAIN loss trend: 3 epochs reliably memorize the
+    # 103-event split, whereas a 40-step val-loss comparison is
+    # init-draw-dependent (it flipped sign when the default PRNG impl
+    # changed; generalization at this scale needs ~500 steps, see README's
+    # learning-sanity run).
+    result = t.fit(max_steps=40, eval_interval=20)
     after = result
     assert np.isfinite(after["val_loss"])
-    assert after["val_loss"] < before["val_loss"], (before["val_loss"], after["val_loss"])
     # checkpoints were written with the top-k index
-    assert t.checkpoints.latest_step() == 10
+    assert t.checkpoints.latest_step() == 40
     assert os.path.exists(os.path.join(t.run_dir, "options.json"))
     # metrics were logged with reference tag names
     from dune_transformercvn_tpu.train.logging import read_history
@@ -77,6 +83,10 @@ def test_training_reduces_loss_and_checkpoints(trainer8):
     history = read_history(t.run_dir)
     for tag in ("train_loss", "event_loss", "prong_loss", "val_epoch_AUC", "lr-AdamW/pg1"):
         assert tag in history, f"missing tag {tag} in {list(history)}"
+    # training reduces the train loss (memorization over ~3 epochs)
+    train_losses = [v for _, v in history["train_loss"]]
+    assert len(train_losses) >= 3
+    assert train_losses[-1] < train_losses[0], train_losses
 
 
 def test_resume_round_trip(trainer8, train_file, tmp_path_factory):
