@@ -100,13 +100,43 @@ class CheckpointManager:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
-        path = self._path(step)
-        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
-        return self._checkpointer.restore(path, abstract)
+        return _restore_rng_tolerant(self._checkpointer, self._path(step), template)
+
+
+def _restore_rng_tolerant(checkpointer, path: str, template):
+    """Restore, tolerating a PRNG-impl change since the checkpoint was
+    written.
+
+    Raw key shapes differ between jax PRNG impls (threefry ``(2,)`` vs rbg
+    ``(4,)`` uint32 — see ``utils.cache.enable_fast_prng``), and a key from
+    the other impl would be misinterpreted under the current default anyway.
+    Random streams are not parity-bearing state, so on a ``base_rng`` shape
+    mismatch the checkpoint's other leaves are restored strictly and the
+    template's fresh key is kept.
+    """
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+    try:
+        return checkpointer.restore(path, abstract)
+    except Exception:
+        if not (hasattr(template, "base_rng") and hasattr(abstract, "replace")):
+            raise
+        template_shape = tuple(template.base_rng.shape)
+        for shape in ((2,), (4,)):
+            if shape == template_shape:
+                continue
+            alt = abstract.replace(
+                base_rng=jax.ShapeDtypeStruct(shape, abstract.base_rng.dtype)
+            )
+            try:
+                restored = checkpointer.restore(path, alt)
+            except Exception:
+                continue
+            return restored.replace(base_rng=template.base_rng)
+        raise
 
 
 def restore_from_path(path: str, template):
     """Restore a single checkpoint directory (the `-c path` resume flow)."""
-    checkpointer = ocp.StandardCheckpointer()
-    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
-    return checkpointer.restore(os.path.abspath(path), abstract)
+    return _restore_rng_tolerant(
+        ocp.StandardCheckpointer(), os.path.abspath(path), template
+    )

@@ -291,3 +291,33 @@ def test_checkpoint_index_survives_reload(tmp_path):
     assert mgr2.latest_step() == 1
     restored = mgr2.restore(make_fake_state(0.0))
     np.testing.assert_allclose(restored["params"]["w"], 1.0)
+
+
+def test_checkpoint_restore_across_prng_impls(tmp_path):
+    """A checkpoint written under one PRNG impl restores under the other.
+
+    Raw key shapes differ (threefry (2,) vs rbg (4,) uint32); the restore
+    grafts the template's fresh key since a cross-impl key would be
+    misinterpreted anyway (random streams are not parity-bearing state)."""
+    from flax import struct
+
+    @struct.dataclass
+    class MiniState:
+        params: dict
+        base_rng: jax.Array
+
+    def state(key_words: int, value: float):
+        return MiniState(
+            params={"w": jnp.full((3,), value, jnp.float32)},
+            base_rng=jnp.arange(key_words, dtype=jnp.uint32),
+        )
+
+    for saved_words, template_words in [(2, 4), (4, 2)]:
+        d = str(tmp_path / f"ck_{saved_words}to{template_words}")
+        mgr = CheckpointManager(d, top_k=1)
+        mgr.save(state(saved_words, 7.0), 1, 0.5)
+        template = state(template_words, 0.0)
+        restored = CheckpointManager(d, top_k=1).restore(template)
+        np.testing.assert_allclose(np.asarray(restored.params["w"]), 7.0)
+        # the template's key survives (correct word count for the live impl)
+        assert restored.base_rng.shape == (template_words,)
