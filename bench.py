@@ -256,6 +256,13 @@ def main():
         "value": round(eps, 2),
         "unit": "events/s (batch 16, dense prod config, 1 chip)",
         "vs_baseline": round(eps / BASELINE_EVENTS_PER_SECOND, 3),
+        # Round-1 reported 16.5k ev/s: jax.block_until_ready returns early
+        # on this backend, so that number timed dispatch, not execution.
+        # From round 2 on, timing closes each window with a device->host
+        # fetch minus the measured RPC floor (PARITY.md "Timing
+        # methodology") — lower, and real.
+        "timing_note": "sound device-fetch barrier; r01 used a broken "
+                       "block_until_ready and overstated throughput",
     }
     peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
     opts = Options.load(

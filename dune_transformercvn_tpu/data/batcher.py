@@ -198,22 +198,38 @@ class Batcher:
                 cursor += n
 
         # --- COO banks, padded to the bucket with OOB owners ------------------
-        def pack_coo(coords, values, owner_g, shard_of_hit, caps, owner_local_fn, oob):
+        def pack_coo(coords, values, owner_g, shard_of_hit, caps, owner_local_fn,
+                     oob, num_owners):
             out_xy = np.zeros((S, caps, 2), dtype=np.int32)
             out_v = np.zeros((S, caps, C), dtype=np.float32)
             out_o = np.full((S, caps), oob, dtype=np.int32)
+            # per-image CSR offsets over the owner-sorted bank (dataset hits
+            # arrive grouped by event/prong, so local owners are already
+            # ascending) — consumed by the Pallas densify fast path
+            out_starts = np.zeros((S, num_owners + 1), dtype=np.int32)
             for s in range(S):
                 sel = shard_of_hit == s
                 n = int(sel.sum())
                 out_xy[s, :n] = coords[sel][:, 1:3]
                 out_v[s, :n] = values[sel]
-                out_o[s, :n] = owner_local_fn(s, coords[sel], owner_g[sel])
-            return out_xy, out_v, out_o
+                local = owner_local_fn(s, coords[sel], owner_g[sel])
+                if n > 1 and np.any(np.diff(local) < 0):
+                    # CSR order normally guarantees ascending owners; sort
+                    # (stably) if a file breaks that so the offsets stay valid
+                    order = np.argsort(local, kind="stable")
+                    out_xy[s, :n] = out_xy[s, :n][order]
+                    out_v[s, :n] = out_v[s, :n][order]
+                    local = local[order]
+                out_o[s, :n] = local
+                out_starts[s, 1:] = np.cumsum(
+                    np.bincount(local, minlength=num_owners)
+                )
+            return out_xy, out_v, out_o, out_starts
 
-        ev_xy, ev_v, ev_o = pack_coo(
+        ev_xy, ev_v, ev_o, ev_starts = pack_coo(
             raw["event_coords"], raw["event_values"], ev_owner_g, ev_shard, ev_cap,
             lambda s, c, og: og % b,                      # owner: local event row
-            oob=b,
+            oob=b, num_owners=b,
         )
 
         def prong_owner_local(s, coords, owner_g):
@@ -221,10 +237,10 @@ class Batcher:
             # packed slot = slot_start[event] + prong index within event
             return slot_start[s, local_event] + coords[:, 0]
 
-        pr_xy, pr_v, pr_o = pack_coo(
+        pr_xy, pr_v, pr_o, pr_starts = pack_coo(
             raw["prong_coords"], raw["prong_values"], pr_owner_g, pr_shard, pr_cap,
             prong_owner_local,
-            oob=prong_cap,
+            oob=prong_cap, num_owners=prong_cap,
         )
 
         def flat(x):  # [S, ...] -> [S * dim0, ...]
@@ -239,9 +255,11 @@ class Batcher:
             "event_xy": flat(ev_xy),
             "event_vals": flat(ev_v),
             "event_owner": flat(ev_o),
+            "event_starts": flat(ev_starts),
             "prong_xy": flat(pr_xy),
             "prong_vals": flat(pr_v),
             "prong_owner": flat(pr_o),
+            "prong_starts": flat(pr_starts),
             "slot_batch": flat(slot_batch),
             "slot_pos": flat(slot_pos),
             "slot_mask": flat(slot_mask),

@@ -331,11 +331,13 @@ class TransformerCVN(nn.Module):
                 batch["event_xy"],
                 self.preprocess_values(batch["event_vals"], train),
                 batch["event_owner"], B, H, W,
+                starts=batch.get("event_starts"),
             )
             prong_images = densify_images(
                 batch["prong_xy"],
                 self.preprocess_values(batch["prong_vals"], train),
                 batch["prong_owner"], P, H, W,
+                starts=batch.get("prong_starts"),
             )
 
         event_logits, prong_logits, _, _ = self.forward_from_images(

@@ -20,8 +20,24 @@ def densify_images(
     num_images: int,
     height: int,
     width: int,
+    starts: jnp.ndarray = None,  # optional [num_images+1] CSR offsets
 ) -> jnp.ndarray:
-    """Scatter-add COO hits into dense NHWC images ``[num_images, H, W, C]``."""
+    """Scatter-add COO hits into dense NHWC images ``[num_images, H, W, C]``.
+
+    When ``starts`` is provided (the batcher's per-image CSR offsets over an
+    owner-sorted bank) and the backend supports it, the build runs as a
+    Pallas kernel with VMEM-resident per-image accumulation — 8.4x faster
+    than XLA's serialized scatter lowering on a v5e (see
+    ``ops/pallas_densify.py``).  Otherwise falls back to the XLA scatter,
+    which needs no ordering guarantee.
+    """
+    if starts is not None:
+        from .pallas_densify import densify_images_pallas, supports_pallas_densify
+
+        if supports_pallas_densify(xy.shape[0], values.shape[-1], height):
+            return densify_images_pallas(
+                xy, values, starts, num_images, height, width
+            )
     images = jnp.zeros((num_images, height, width, values.shape[-1]), values.dtype)
     return images.at[owner, xy[:, 0], xy[:, 1]].add(
         values, mode="drop", unique_indices=False, indices_are_sorted=False

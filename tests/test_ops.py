@@ -149,3 +149,57 @@ def test_class_balanced_loss_runs():
     for loss_type in ("focal", "sigmoid", "softmax"):
         val = class_balanced_loss(targets, logits, beta=2.5, gamma=1.0, loss_type=loss_type)
         assert np.isfinite(float(val))
+
+
+def test_pallas_densify_matches_xla_scatter():
+    """The Pallas densify kernel (interpret mode on CPU) == the XLA scatter
+    on an owner-sorted bank with duplicates and tail padding."""
+    from dune_transformercvn_tpu.ops.pallas_densify import densify_images_pallas
+
+    rng = np.random.default_rng(3)
+    N, H, W, C = 3, 16, 11, 3
+    counts = [5, 0, 7]                       # image 1 empty
+    owner = np.repeat(np.arange(N), counts).astype(np.int32)
+    n = owner.size
+    xy = np.stack([rng.integers(0, H, n), rng.integers(0, W, n)], 1).astype(np.int32)
+    xy[1] = xy[0]                            # duplicate pixel -> accumulate
+    R = 16                                   # bank with padding rows at the end
+    xy_full = np.concatenate([xy, np.zeros((R - n, 2), np.int32)])
+    owner_full = np.concatenate([owner, np.full(R - n, N, np.int32)])
+    vals = rng.normal(size=(R, C)).astype(np.float32)
+    starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+
+    ref = densify_images(
+        jnp.asarray(xy_full), jnp.asarray(vals), jnp.asarray(owner_full), N, H, W
+    )
+    out = densify_images_pallas(
+        jnp.asarray(xy_full), jnp.asarray(vals), jnp.asarray(starts),
+        N, H, W, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_batcher_emits_csr_starts():
+    """The batcher's event/prong CSR offsets index an owner-sorted bank."""
+    import os, tempfile
+    from dune_transformercvn_tpu.data.batcher import Batcher
+    from dune_transformercvn_tpu.data.dataset import EventDataset
+    from dune_transformercvn_tpu.data.schema import make_synthetic_file
+
+    path = os.path.join(tempfile.gettempdir(), "csr_starts.h5")
+    if not os.path.exists(path):
+        make_synthetic_file(path, num_events=12, seed=5)
+    ds = EventDataset(path, event_current_targets=True)
+    batcher = Batcher(ds, batch_size=4, coo_granularity=512)
+    batch = batcher.build_batch(np.arange(4))
+
+    for prefix, num_images in (("event", 4), ("prong", batch["slot_batch"].shape[0])):
+        starts = batch[f"{prefix}_starts"]
+        owner = batch[f"{prefix}_owner"]
+        assert starts.shape == (num_images + 1,)
+        assert starts[0] == 0
+        for i in range(num_images):
+            seg = owner[starts[i]:starts[i + 1]]
+            assert (seg == i).all(), (prefix, i)
+        # rows past the last offset are padding (out-of-range owners)
+        assert (owner[starts[-1]:] >= num_images).all()
