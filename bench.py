@@ -265,13 +265,9 @@ def main():
                        "block_until_ready and overstated throughput",
     }
     peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
-    opts = Options.load(
-        os.path.join(os.path.dirname(__file__), "option_files",
-                     "fdhd_beam_2018prod_2023_08_07.json")
-    )
-    opts.compute_dtype = "bfloat16"
-    opts.coo_bucket_granularity = 8192
-    for label, train_eps, step_time, flops in train_bench(opts):
+    # reuse the production options from the inference section (the batch
+    # size is re-set per measurement inside train_bench)
+    for label, train_eps, step_time, flops in train_bench(options):
         record[f"train_{label}_events_per_second"] = round(train_eps, 2)
         print(
             f"# train step {label}: {step_time * 1e3:.2f} ms/step, "

@@ -56,7 +56,15 @@ def _kernel(num_channels, width, starts_ref, x_ref, y_ref, *rest):
     def body(j, carry):
         x = x_ref[j]
         y = y_ref[j]
-        xb = (x // 8) * 8                       # Mosaic: 8-aligned sublane base
+        # Mosaic needs a provably 8-aligned sublane base, so derive it from
+        # the CLAMPED x ((clip(x) // 8) * 8 stays a pure aligned expression;
+        # clipping xb itself defeats the alignment proof).  The row match
+        # uses the ORIGINAL x: out-of-range x lands outside 0..7 relative
+        # to the in-bounds window and selects nothing — exactly the XLA
+        # scatter's drop-mode semantics (OOB y likewise matches no column).
+        xb = pl.multiple_of(
+            (jnp.clip(x, 0, o_ref.shape[2] - 1) // 8) * 8, 8
+        )
         sel = ((row8 == (x - xb)) & (col == y)).astype(jnp.float32)
         delta = jnp.concatenate(
             [sel * vref[j] for vref in vrefs], axis=0

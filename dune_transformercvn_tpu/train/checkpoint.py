@@ -117,8 +117,14 @@ def _restore_rng_tolerant(checkpointer, path: str, template):
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
     try:
         return checkpointer.restore(path, abstract)
-    except Exception:
-        if not (hasattr(template, "base_rng") and hasattr(abstract, "replace")):
+    except Exception as err:
+        # Only retry on a shape-mismatch failure (orbax's message does not
+        # name the leaf) — corrupted checkpoints / IO errors re-raise
+        # immediately rather than paying two more full restore attempts.
+        # A non-rng shape mismatch survives both alt attempts and re-raises.
+        if "not compatible with the stored shape" not in str(err) or not (
+            hasattr(template, "base_rng") and hasattr(abstract, "replace")
+        ):
             raise
         template_shape = tuple(template.base_rng.shape)
         for shape in ((2,), (4,)):

@@ -163,6 +163,8 @@ def test_pallas_densify_matches_xla_scatter():
     n = owner.size
     xy = np.stack([rng.integers(0, H, n), rng.integers(0, W, n)], 1).astype(np.int32)
     xy[1] = xy[0]                            # duplicate pixel -> accumulate
+    xy[2] = (H + 4, 2)                       # out-of-range x -> dropped
+    xy[3] = (3, W + 5)                       # out-of-range y -> dropped
     R = 16                                   # bank with padding rows at the end
     xy_full = np.concatenate([xy, np.zeros((R - n, 2), np.int32)])
     owner_full = np.concatenate([owner, np.full(R - n, N, np.int32)])

@@ -105,15 +105,16 @@ def test_masked_softmax_pooling():
     tokens = jnp.asarray(rng.normal(size=(2, 5, 8)).astype(np.float32))
     mask = jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], bool)
     mod = MaskedSoftmaxPooling()
-    v = mod.init(jax.random.PRNGKey(0), tokens, mask)
-    out = mod.apply(v, tokens, mask)
+    v = jax.jit(mod.init)(jax.random.PRNGKey(0), tokens, mask)
+    apply = jax.jit(mod.apply)
+    out = apply(v, tokens, mask)
     assert out.shape == (2, 8)
     # poisoning masked tokens changes nothing
-    out2 = mod.apply(v, tokens.at[0, 4].set(100.0), mask)
+    out2 = apply(v, tokens.at[0, 4].set(100.0), mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
     # pooled vector lies in the convex hull of real tokens (weights sum to 1)
     single = mask.at[0, 1:].set(False)
-    out3 = mod.apply(v, tokens, single)
+    out3 = apply(v, tokens, single)
     np.testing.assert_allclose(np.asarray(out3[0]), np.asarray(tokens[0, 0]), atol=1e-5)
 
 

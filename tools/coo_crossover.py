@@ -79,11 +79,18 @@ def main():
         )
     )
 
+    def timed_per_op(fn):
+        """Per-op best time with a window >= ~0.6 s (the repo's timing rule:
+        the ~30 ms fetch floor must be small against the window)."""
+        probe = _timed_best(fn, rounds=50, repeats=1) / 50
+        rounds = max(50, int(0.6 / max(probe, 1e-6)))
+        return _timed_best(fn, rounds=rounds) / rounds
+
     results = []
     for occupancy in (0.001, 0.003, 0.01, 0.03, 0.1):
         xy, vals, owner, images, bucket = make_inputs(occupancy, rng)
-        dense_t = _timed_best(lambda: dense_fn(images), rounds=50) / 50
-        coo_t = _timed_best(lambda: coo_fn(xy, vals, owner), rounds=50) / 50
+        dense_t = timed_per_op(lambda: dense_fn(images))
+        coo_t = timed_per_op(lambda: coo_fn(xy, vals, owner))
         results.append({
             "occupancy": occupancy,
             "coo_bucket_rows": bucket,

@@ -124,7 +124,9 @@ def eval_reference(args, ckpt_path):
             ev_t.append(event_targets.numpy())
             pr_p.append(torch.softmax(prong_logits, -1).numpy()[mask])
             pr_t.append(prong_targets.numpy()[mask])
-            rows = np.nonzero(mask.any(-1) if mask.ndim > 1 else mask)[0] + seen
+            # one entry PER KEPT PRONG (row order matches the [mask] gathers
+            # above) — nonzero over the 2-D mask yields each prong's event row
+            rows = np.nonzero(mask)[0] + seen
             pr_e.append(rows)
             seen += event_logits.shape[0]
     return {
