@@ -213,6 +213,13 @@ class Batcher:
                 out_xy[s, :n] = coords[sel][:, 1:3]
                 out_v[s, :n] = values[sel]
                 local = owner_local_fn(s, coords[sel], owner_g[sel])
+                # Out-of-range owners (e.g. a prong hit indexing past its
+                # event's slots) keep drop-mode semantics: mark them with the
+                # OOB sentinel so they sort to the end, stay out of the CSR
+                # counts, and are dropped by the device scatter.
+                local = np.where(
+                    (local >= 0) & (local < num_owners), local, num_owners
+                )
                 if n > 1 and np.any(np.diff(local) < 0):
                     # CSR order normally guarantees ascending owners; sort
                     # (stably) if a file breaks that so the offsets stay valid
@@ -222,7 +229,7 @@ class Batcher:
                     local = local[order]
                 out_o[s, :n] = local
                 out_starts[s, 1:] = np.cumsum(
-                    np.bincount(local, minlength=num_owners)
+                    np.bincount(local[local < num_owners], minlength=num_owners)
                 )
             return out_xy, out_v, out_o, out_starts
 

@@ -205,10 +205,18 @@ def coo_stem_conv(
         + ox[:, :, None].astype(jnp.int32) * out_w
         + oy[:, None, :].astype(jnp.int32)
     )                                                        # [N, k, k]
+    # Input coordinates must themselves be in range: the dense path's densify
+    # drops out-of-grid hits before the conv (drop-mode scatter), so a
+    # malformed hit with x >= height must not contribute here either.
+    in_grid = (
+        (xy[:, 0] >= 0) & (xy[:, 0] < height)
+        & (xy[:, 1] >= 0) & (xy[:, 1] < width)
+    )
     valid = (
         valid_x[:, :, None]
         & valid_y[:, None, :]
         & (owner[:, None, None] < batch)
+        & in_grid[:, None, None]
     )
     oob = batch * out_h * out_w
     idx = jnp.where(valid, idx, oob).reshape(n * k * k)

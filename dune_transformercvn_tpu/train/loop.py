@@ -512,6 +512,7 @@ class Trainer:
                     profiling = False
                     if self.verbose:
                         print(f"Profiler trace written to {profile_dir}")
+                    profile_dir = None  # capture exactly one trace per run
 
                 flush_pending_log()
                 if self.logger.enabled and (step % 10 < took or step <= 2):

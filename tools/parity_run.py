@@ -52,7 +52,14 @@ def train_ours(args):
             "--max_steps", str(args.steps), "-v",
             "--training_file", args.data,
         ])
-    versions = sorted(os.listdir(os.path.join(run_root, "parity")))
+    def version_key(name):
+        # version_10 must sort after version_9 (lexical order breaks at 10+)
+        tail = name.rsplit("_", 1)[-1]
+        return (int(tail), name) if tail.isdigit() else (-1, name)
+
+    versions = sorted(
+        os.listdir(os.path.join(run_root, "parity")), key=version_key
+    )
     return os.path.join(run_root, "parity", versions[-1])
 
 
@@ -82,11 +89,19 @@ def train_reference(args):
             "--name", "parity",
             "--log_dir", log_dir,
         ], cwd=args.reference, env=env)
-    # newest version dir's last checkpoint
+    # newest version dir's newest checkpoint (numeric/mtime, not lexical:
+    # version_10 sorts before version_9 lexically)
+    def version_key(name):
+        tail = name.rsplit("_", 1)[-1]
+        return (int(tail), name) if tail.isdigit() else (-1, name)
+
     base = os.path.join(log_dir, "parity")
-    version = sorted(os.listdir(base))[-1]
+    version = sorted(os.listdir(base), key=version_key)[-1]
     ckpts = os.path.join(base, version, "checkpoints")
-    ckpt = sorted(os.listdir(ckpts))[-1]
+    ckpt = max(
+        os.listdir(ckpts),
+        key=lambda n: os.path.getmtime(os.path.join(ckpts, n)),
+    )
     return os.path.join(ckpts, ckpt)
 
 
