@@ -160,11 +160,16 @@ class EventDataset:
         if mean is None or std is None:
             masked = self.features[self.prong_mask]
             mean = masked.mean(0)
-            std = masked.std(0)
+            # ddof=1: the reference's torch ``.std()`` is unbiased
+            # (minkowski_dataset.py:228)
+            std = masked.std(0, ddof=1 if masked.shape[0] > 1 else 0)
             std = np.where(std < 1e-5, 1.0, std)
         if extra_mean is None or extra_std is None:
             extra_mean = np.asarray(self.extra.mean(), dtype=np.float32)
-            extra_std = np.asarray(self.extra.std(), dtype=np.float32)
+            extra_std = np.asarray(
+                self.extra.std(ddof=1 if self.extra.size > 1 else 0),
+                dtype=np.float32,
+            )
             if float(extra_std) < 1e-5:
                 extra_std = np.asarray(1.0, dtype=np.float32)
 

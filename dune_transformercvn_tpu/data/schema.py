@@ -88,6 +88,8 @@ def make_synthetic_file(
     mean_hits_per_image: float = 160.0,
     detailed_targets: bool = True,
     seed: int = 0,
+    fixed_prongs: int = 0,
+    unique_pixels: bool = False,
 ) -> str:
     """Write a synthetic HDF5 file with the exact training schema.
 
@@ -108,9 +110,15 @@ def make_synthetic_file(
         if i < num_events:
             event_target[i] = rep
 
-    prong_counts = np.clip(
-        rng.poisson(mean_prongs, size=num_events), 1, MAX_PRONGS
-    ).astype(np.int64)
+    if fixed_prongs:
+        # Every event gets exactly this many prongs — after the reference's
+        # max-prong batch trim there is NO padded row, so torch packed BN and
+        # our masked BN see identical batches (the trajectory-parity fixture).
+        prong_counts = np.full(num_events, min(fixed_prongs, MAX_PRONGS), np.int64)
+    else:
+        prong_counts = np.clip(
+            rng.poisson(mean_prongs, size=num_events), 1, MAX_PRONGS
+        ).astype(np.int64)
 
     prong_target = np.full((num_events, MAX_PRONGS), -1, dtype=np.int64)
     for i, n in enumerate(prong_counts):
@@ -131,6 +139,12 @@ def make_synthetic_file(
         y = np.clip(y + rng.integers(-4, 5, size=n_hits), 0, IMAGE_WIDTH - 1)
         values = rng.uniform(16.0, 255.0, size=(n_hits, PIXEL_CHANNELS)).astype(np.float32)
         values *= 0.5 + 0.5 * ((label % 4) + 1) / 4.0
+        if unique_pixels:
+            # One hit per pixel: the reference's sparse_to_dense overwrite
+            # (`out[idx] += v` is last-write-wins on duplicates) and our
+            # scatter-add then agree exactly (trajectory-parity fixture).
+            _, keep = np.unique(x * IMAGE_WIDTH + y, return_index=True)
+            x, y, values = x[keep], y[keep], values[keep]
         return x, y, values
 
     ev_coords, ev_values, ev_index = [], [], np.zeros((num_events, 2), np.int64)

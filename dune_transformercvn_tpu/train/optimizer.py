@@ -2,9 +2,13 @@
 
 The reference builds two parameter groups — weight decay for everything
 except parameters whose names contain "bias" or "LayerNorm.weight"
-(trainers/neutrino_base.py:116-128).  The flax equivalents are leaves named
-``bias`` and LayerNorm ``scale`` leaves; note torch's mask deliberately
-*keeps* decay on BatchNorm scale and PReLU weights, which we match.
+(trainers/neutrino_base.py:116-128).  In the LIVE reference the
+"LayerNorm.weight" entry is dead: no module attribute is literally named
+``LayerNorm`` (the encoder's layer norms are ``norm1``/``norm2``, the HF
+BERT naming the mask was copied for never appears), so the actual behavior
+is bias-only exclusion — LayerNorm scales, BatchNorm scales and PReLU
+weights are all decayed.  We match that live behavior exactly (proven by
+the multi-step trajectory golden, tests/test_trajectory_parity.py).
 
 Gradient clipping by global L2 norm precedes the optimizer update,
 mirroring Lightning's ``gradient_clip_val`` (train.py:140).
@@ -24,11 +28,9 @@ def decay_mask(params) -> object:
     def is_decayed(path) -> bool:
         keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
         leaf = keys[-1] if keys else ""
-        if leaf == "bias":
-            return False
-        if leaf == "scale" and any("LayerNorm" in str(k) for k in keys):
-            return False
-        return True
+        # bias-only: the reference's "LayerNorm.weight" mask entry matches no
+        # live parameter name (see module docstring), so LN scales ARE decayed
+        return leaf != "bias"
 
     return jax.tree_util.tree_map_with_path(lambda p, _: is_decayed(p), params)
 

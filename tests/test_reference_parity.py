@@ -52,7 +52,9 @@ def _import_reference_network():
 
 
 def t2n(tensor):
-    return tensor.detach().numpy()
+    # .copy(): .numpy() returns a VIEW of torch storage, which an in-place
+    # optimizer step would silently mutate after transplanting
+    return tensor.detach().numpy().copy()
 
 
 def conv_w(sd, key):  # torch OIHW -> flax HWIO

@@ -72,7 +72,9 @@ def test_schedule_selection_from_options():
 
 
 # ---------------------------------------------------------------------------
-# Optimizer decay mask (reference rule: no decay for bias / LayerNorm scale)
+# Optimizer decay mask (live reference behavior: bias-only exclusion — the
+# reference's "LayerNorm.weight" mask entry matches no live parameter name,
+# so LayerNorm scales ARE decayed; see train/optimizer.py docstring)
 # ---------------------------------------------------------------------------
 
 def test_decay_mask_rules():
@@ -85,9 +87,9 @@ def test_decay_mask_rules():
     mask = decay_mask(params)
     assert mask["Dense_0"]["kernel"] is True
     assert mask["Dense_0"]["bias"] is False
-    assert mask["LayerNorm_0"]["scale"] is False
+    # the live torch mask decays LayerNorm/BatchNorm scales and PReLU weights
+    assert mask["LayerNorm_0"]["scale"] is True
     assert mask["LayerNorm_0"]["bias"] is False
-    # torch's substring mask decays BatchNorm scale and PReLU weights
     assert mask["MaskedBatchNorm_0"]["scale"] is True
     assert mask["MaskedBatchNorm_0"]["bias"] is False
     assert mask["PReLU_0"]["alpha"] is True
