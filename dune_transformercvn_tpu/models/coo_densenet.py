@@ -60,7 +60,10 @@ class CooStemDenseNet(nn.Module):
         )
 
         if isinstance(inputs, (tuple, list)):
-            xy, values, owner, num_rows = inputs
+            # (xy, values, owner, num_rows[, starts]) — starts are the
+            # batcher's owner-sorted CSR offsets enabling the Pallas scatter
+            xy, values, owner, num_rows, *rest = inputs
+            starts = rest[0] if rest else None
             c_in = values.shape[-1]
         else:
             c_in = inputs.shape[-1]
@@ -83,6 +86,7 @@ class CooStemDenseNet(nn.Module):
                 batch=num_rows,
                 height=self.image_height, width=self.image_width,
                 stride=2, padding=3,
+                starts=starts,
             )
         else:
             x = jax.lax.conv_general_dilated(

@@ -320,11 +320,13 @@ class TransformerCVN(nn.Module):
                 batch["event_xy"],
                 self.preprocess_values(batch["event_vals"], train),
                 batch["event_owner"], B,
+                batch.get("event_starts"),
             )
             prong_images = (
                 batch["prong_xy"],
                 self.preprocess_values(batch["prong_vals"], train),
                 batch["prong_owner"], P,
+                batch.get("prong_starts"),
             )
         else:
             event_images = densify_images(

@@ -156,8 +156,15 @@ def coo_stem_conv(
     width: int,
     stride: int = 2,
     padding: int = 3,
+    starts: jnp.ndarray = None,   # [batch+1] CSR offsets (owner-sorted bank)
 ) -> jnp.ndarray:
     """Sparse-input strided convolution straight into a dense grid.
+
+    When the batcher's owner-sorted CSR ``starts`` are provided and the
+    geometry matches, the scatter runs through the Pallas per-image kernel
+    (``ops.pallas_coo_stem`` — ~3x over the XLA scatter, flipping the
+    dense-vs-COO crossover at production stem occupancy); otherwise the XLA
+    drop-mode scatter below.  Both paths are bit-identical.
 
     The TPU-native form of MinkowskiEngine's gather-matmul-scatter for the
     *stem* case (sparse_dense_net.py:39-44: ``MinkowskiConvolution(k=7, s=2)``
@@ -183,6 +190,16 @@ def coo_stem_conv(
     n = xy.shape[0]
     out_h = (height + 2 * padding - k) // stride + 1
     out_w = (width + 2 * padding - k) // stride + 1
+
+    if starts is not None:
+        from .pallas_coo_stem import coo_stem_conv_pallas, supports_pallas_coo_stem
+
+        if supports_pallas_coo_stem(
+            n, c_in, c_out, height, width, stride, padding, k
+        ):
+            return coo_stem_conv_pallas(
+                xy, values, starts, kernel_weights, bias, batch, height, width
+            )
 
     # [C_in, k*k*C_out]: one matmul computes every offset's contribution.
     w = kernel_weights.astype(values.dtype).transpose(2, 0, 1, 3).reshape(

@@ -27,7 +27,13 @@ class CheckpointManager:
         self.directory = os.path.abspath(directory)
         self.top_k = top_k
         self.metric = metric
-        self._checkpointer = ocp.StandardCheckpointer()
+        # Async saves: ``save()`` returns after the device->host copy; disk
+        # serialization runs in a background thread so training continues
+        # through it (Lightning's ModelCheckpoint likewise does not stall
+        # the step loop, reference train.py:107-114).  The pending save is
+        # finalized (index update + prune) at the next save/restore/close.
+        self._checkpointer = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self._pending: Optional[Dict[str, Any]] = None
         os.makedirs(self.directory, exist_ok=True)
         self._index_path = os.path.join(self.directory, "index.json")
         self._index: Dict[str, Any] = {"checkpoints": [], "last": None}
@@ -45,21 +51,35 @@ class CheckpointManager:
             json.dump(self._index, f, indent=2)
 
     def save(self, state, step: int, metric_value: Optional[float] = None):
-        """Save a checkpoint; prune beyond top-k (never pruning 'last')."""
+        """Start an async save; prune beyond top-k (never pruning 'last').
+
+        Returns once the state is copied off-device; the previous save (if
+        still in flight) is finalized first, so at most one save runs in
+        the background."""
+        self._finalize_pending()
         path = self._path(step)
         if os.path.exists(path):
             shutil.rmtree(path)
-        self._checkpointer.save(path, state)
-        self._checkpointer.wait_until_finished()
+        self._checkpointer.save(path, args=ocp.args.StandardSave(state))
+        self._pending = {"step": int(step), "metric": metric_value, "path": path}
+        return path
 
-        entry = {"step": int(step), "metric": metric_value, "path": path}
+    def _finalize_pending(self):
+        """Block until the in-flight save commits, then index + prune it."""
+        if self._pending is None:
+            return
+        self._checkpointer.wait_until_finished()
+        entry, self._pending = self._pending, None
         self._index["checkpoints"] = [
-            c for c in self._index["checkpoints"] if c["step"] != int(step)
+            c for c in self._index["checkpoints"] if c["step"] != entry["step"]
         ] + [entry]
-        self._index["last"] = int(step)
+        self._index["last"] = entry["step"]
         self._prune()
         self._write_index()
-        return path
+
+    def close(self):
+        """Finalize any in-flight save (call at the end of training)."""
+        self._finalize_pending()
 
     @staticmethod
     def _rank_metric(entry) -> float:
@@ -83,9 +103,11 @@ class CheckpointManager:
     # -------------------------------------------------------------------------
 
     def latest_step(self) -> Optional[int]:
+        self._finalize_pending()
         return self._index.get("last")
 
     def best_step(self) -> Optional[int]:
+        self._finalize_pending()
         entries = [
             c for c in self._index["checkpoints"]
             if self._rank_metric(c) != -np.inf
@@ -96,6 +118,7 @@ class CheckpointManager:
 
     def restore(self, template, step: Optional[int] = None):
         """Restore into the structure of ``template`` (a freshly built state)."""
+        self._finalize_pending()
         if step is None:
             step = self.latest_step()
         if step is None:
@@ -115,8 +138,16 @@ def _restore_rng_tolerant(checkpointer, path: str, template):
     template's fresh key is kept.
     """
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+
+    def do_restore(target):
+        # StandardCheckpointer takes the target positionally; the async
+        # handler-based checkpointer wants ocp.args
+        if isinstance(checkpointer, ocp.StandardCheckpointer):
+            return checkpointer.restore(path, target)
+        return checkpointer.restore(path, args=ocp.args.StandardRestore(target))
+
     try:
-        return checkpointer.restore(path, abstract)
+        return do_restore(abstract)
     except Exception as err:
         # Only retry on a shape-mismatch failure (orbax's message does not
         # name the leaf) — corrupted checkpoints / IO errors re-raise
@@ -134,7 +165,7 @@ def _restore_rng_tolerant(checkpointer, path: str, template):
                 base_rng=jax.ShapeDtypeStruct(shape, abstract.base_rng.dtype)
             )
             try:
-                restored = checkpointer.restore(path, alt)
+                restored = do_restore(alt)
             except Exception:
                 continue
             return restored.replace(base_rng=template.base_rng)

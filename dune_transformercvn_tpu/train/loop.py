@@ -361,10 +361,14 @@ class Trainer:
         def fetch(outputs):
             if not self.multi_process:
                 return jax.device_get(outputs)
-            # sharded outputs are not fully addressable from one process
+            # sharded outputs are not fully addressable from one process;
+            # tiled=True concatenates the per-process shards along axis 0
+            # (stacking would add a process axis)
             from jax.experimental import multihost_utils
 
-            return jax.device_get(multihost_utils.process_allgather(outputs))
+            return jax.device_get(
+                multihost_utils.process_allgather(outputs, tiled=True)
+            )
 
         ev_probs, ev_targets = [], []
         pr_probs, pr_targets, pr_event = [], [], []
@@ -548,6 +552,9 @@ class Trainer:
             self._checkpoint(last_val)
             for callback in self.callbacks:
                 callback(step, last_val)
+        if self.checkpoints is not None:
+            # commit the in-flight async save before reporting completion
+            self.checkpoints.close()
         if self.verbose:
             print(
                 f"Finished {step - start_step} steps in "

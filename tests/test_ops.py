@@ -205,3 +205,52 @@ def test_batcher_emits_csr_starts():
             assert (seg == i).all(), (prefix, i)
         # rows past the last offset are padding (out-of-range owners)
         assert (owner[starts[-1]:] >= num_images).all()
+
+
+def test_pallas_coo_stem_matches_xla_scatter():
+    """The Pallas COO-stem scatter kernel (interpret mode) is bit-identical
+    to the XLA gather-matmul-scatter path, including drop-mode handling of
+    out-of-grid coordinates, empty images, and padding rows."""
+    from dune_transformercvn_tpu.ops.coo_conv import coo_stem_conv
+    from dune_transformercvn_tpu.ops.pallas_coo_stem import coo_stem_conv_pallas
+
+    rng = np.random.default_rng(3)
+    B, H, W, c_in = 3, 48, 40, 3
+    counts = [17, 0, 9]
+    xy, vals, owner = [], [], []
+    for b, nb in enumerate(counts):
+        xy.append(np.stack(
+            [rng.integers(0, H, nb), rng.integers(0, W, nb)], 1))
+        vals.append(rng.normal(size=(nb, c_in)).astype(np.float32))
+        owner.append(np.full(nb, b))
+    # malformed coordinates inside an owner's CSR range: drop-mode on both
+    xy.append(np.array([[H + 3, 1], [1, W + 2]]))
+    vals.append(np.ones((2, c_in), np.float32))
+    owner.append(np.full(2, B - 1))
+    # padding rows at the end (outside every CSR range)
+    pad = 5
+    xy.append(np.zeros((pad, 2), int))
+    vals.append(np.ones((pad, c_in), np.float32))
+    owner.append(np.full(pad, B))
+
+    xy = np.concatenate(xy).astype(np.int32)
+    vals = np.concatenate(vals)
+    owner = np.concatenate(owner).astype(np.int32)
+    starts = np.concatenate(
+        [[0], np.cumsum([17, 0, 9 + 2])]).astype(np.int32)
+
+    for c_out in (16, 64):   # pack = 8 and pack = 2 lane layouts
+        wk = rng.normal(size=(7, 7, c_in, c_out)).astype(np.float32) * 0.1
+        bias = rng.normal(size=(c_out,)).astype(np.float32)
+        ref = coo_stem_conv(
+            jnp.asarray(xy), jnp.asarray(vals), jnp.asarray(owner),
+            jnp.asarray(wk), jnp.asarray(bias), batch=B, height=H, width=W,
+        )
+        out = coo_stem_conv_pallas(
+            jnp.asarray(xy), jnp.asarray(vals), jnp.asarray(starts),
+            jnp.asarray(wk), jnp.asarray(bias),
+            num_images=B, height=H, width=W, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )

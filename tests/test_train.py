@@ -225,6 +225,7 @@ def test_checkpoint_ranking_handles_none_and_nan(tmp_path):
     mgr.save(make_fake_state(3.0), 3, 0.6)
     mgr.save(make_fake_state(4.0), 4, 0.8)
     mgr.save(make_fake_state(5.0), 5, 0.7)
+    mgr.close()   # commit the in-flight async save before inspecting
     # None/NaN rank below real metrics: top-2 = {4, 5}, plus last
     kept = {c["step"] for c in mgr._index["checkpoints"]}
     assert kept == {4, 5}
@@ -267,6 +268,7 @@ def test_checkpoint_round_trip_and_topk(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ckpt"), top_k=2)
     for step, metric in [(1, 0.5), (2, 0.9), (3, 0.2), (4, 0.7), (5, 0.1)]:
         mgr.save(make_fake_state(float(step)), step, metric)
+    mgr.close()   # commit the in-flight async save before inspecting
 
     # top-2 by metric: steps 2 (0.9) and 4 (0.7); plus last (5)
     kept = {c["step"] for c in mgr._index["checkpoints"]}
@@ -289,6 +291,7 @@ def test_checkpoint_index_survives_reload(tmp_path):
     d = str(tmp_path / "ckpt2")
     mgr = CheckpointManager(d, top_k=3)
     mgr.save(make_fake_state(1.0), 1, 0.4)
+    mgr.close()
     mgr2 = CheckpointManager(d, top_k=3)
     assert mgr2.latest_step() == 1
     restored = mgr2.restore(make_fake_state(0.0))
@@ -318,6 +321,7 @@ def test_checkpoint_restore_across_prng_impls(tmp_path):
         d = str(tmp_path / f"ck_{saved_words}to{template_words}")
         mgr = CheckpointManager(d, top_k=1)
         mgr.save(state(saved_words, 7.0), 1, 0.5)
+        mgr.close()
         template = state(template_words, 0.0)
         restored = CheckpointManager(d, top_k=1).restore(template)
         np.testing.assert_allclose(np.asarray(restored.params["w"]), 7.0)

@@ -60,6 +60,10 @@ def main():
     import jax.numpy as jnp
 
     from dune_transformercvn_tpu.ops.coo_conv import coo_stem_conv
+    from dune_transformercvn_tpu.ops.pallas_coo_stem import (
+        coo_stem_conv_pallas,
+        supports_pallas_coo_stem,
+    )
 
     rng = np.random.default_rng(0)
     kernel = jnp.asarray(
@@ -78,6 +82,11 @@ def main():
             xy, vals, owner, kernel, bias, BATCH, H, W, 2, 3
         )
     )
+    pallas_fn = jax.jit(
+        lambda xy, vals, starts: coo_stem_conv_pallas(
+            xy, vals, starts, kernel, bias, BATCH, H, W
+        )
+    )
 
     def timed_per_op(fn):
         """Per-op best time with a window >= ~0.6 s (the repo's timing rule:
@@ -89,19 +98,30 @@ def main():
     results = []
     for occupancy in (0.001, 0.003, 0.01, 0.03, 0.1):
         xy, vals, owner, images, bucket = make_inputs(occupancy, rng)
+        hits = max(1, int(occupancy * H * W))
+        starts = jnp.asarray(
+            np.arange(BATCH + 1, dtype=np.int32) * hits
+        )
         dense_t = timed_per_op(lambda: dense_fn(images))
         coo_t = timed_per_op(lambda: coo_fn(xy, vals, owner))
+        if supports_pallas_coo_stem(bucket, C_IN, C_OUT, H, W, 2, 3, 7):
+            pallas_t = timed_per_op(lambda: pallas_fn(xy, vals, starts))
+        else:                      # SMEM prefetch cap: XLA fallback regime
+            pallas_t = coo_t
         results.append({
             "occupancy": occupancy,
             "coo_bucket_rows": bucket,
             "dense_ms": round(dense_t * 1e3, 4),
-            "coo_ms": round(coo_t * 1e3, 4),
-            "coo_speedup": round(dense_t / coo_t, 3),
+            "coo_xla_ms": round(coo_t * 1e3, 4),
+            "coo_pallas_ms": round(pallas_t * 1e3, 4),
+            "pallas_vs_xla": round(coo_t / pallas_t, 3),
+            "pallas_vs_dense": round(dense_t / pallas_t, 3),
         })
         print(
             f"# occupancy {occupancy:6.3f}: dense {dense_t*1e3:8.3f} ms  "
-            f"coo {coo_t*1e3:8.3f} ms  (bucket {bucket}, "
-            f"speedup {dense_t/coo_t:5.2f}x)",
+            f"coo-xla {coo_t*1e3:8.3f} ms  coo-pallas {pallas_t*1e3:8.3f} ms  "
+            f"(bucket {bucket}, pallas {coo_t/pallas_t:5.2f}x over xla, "
+            f"{dense_t/pallas_t:5.2f}x vs dense)",
             file=sys.stderr, flush=True,
         )
 
