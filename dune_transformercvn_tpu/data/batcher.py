@@ -101,9 +101,27 @@ class Batcher:
         b = self.per_shard
 
         def cap(counts):
-            # b * per-event max bounds any multiset of b events — including
-            # the wrap-padded tail batch, which may duplicate a heavy event
-            return b * int(np.asarray(counts).max())
+            # Any shard holds b distinct events, so the sum of the b largest
+            # per-event counts bounds every shard — far tighter than the
+            # worst-case ``b * max`` on skewed data (one 4,000-hit event no
+            # longer inflates every batch's bucket by 4,000 * b).
+            counts = np.asarray(counts)
+            top = int(np.sort(counts)[::-1][:b].sum())
+            # The wrap-padded tail batch (drop_last=False) can DUPLICATE a
+            # heavy event, exceeding the distinct-events bound.  Tails only
+            # exist for unshuffled batchers (validation/predict), so the
+            # tail's composition is deterministic: bound its shard sums
+            # exactly.  A shuffled drop_last=False batcher (no current
+            # caller) falls back to the worst-case duplicate bound.
+            r = len(counts) % self.batch_size
+            if not self.drop_last and r:
+                if self.shuffle:
+                    top = max(top, b * int(counts.max()))
+                else:
+                    tail = np.resize(counts[-r:], self.batch_size)
+                    shard_sums = tail.reshape(self.num_shards, b).sum(1)
+                    top = max(top, int(shard_sums.max()))
+            return top
 
         prong_counts = ds.prong_mask.sum(1)
         ev_hits = ds.event_compressed_index[:, 1] - ds.event_compressed_index[:, 0]

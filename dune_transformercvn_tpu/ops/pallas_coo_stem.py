@@ -221,6 +221,102 @@ def _kernel(
 
 
 @functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11)
+)
+def _scatter_patches(
+    patch, starts, xy_x, xy_y,
+    num_images, n_tiles, tile_h, w2pad, out_h, out_w, pack, interpret,
+):
+    """The pallas scatter with a hand-written VJP: the backward of a
+    sum-scatter is a gather, which XLA does efficiently (it is scatter that
+    serializes) — and ``pallas_call`` has no automatic differentiation, so
+    without this the kernel would break the training path it accelerates.
+
+    ``patch[n, t, l]`` is added to exactly one output element
+    ``out[img(n), ox0(n) + t//4, (oy0(n) + t%4) // pack, l]`` (the kernel
+    broadcasts each tap row across a one-hot sublane mask), so the
+    cotangent of ``patch`` is a per-(hit, tap) row gather of the output
+    cotangent.  Cotangents of dropped taps are cleaned up downstream by
+    :func:`stem_patches`'s mask multiplications.
+    """
+    w2 = -(-out_w // pack)
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, out_h, out_w, pack, tile_h, w2, w2pad, _CHUNK
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_images, n_tiles * tile_h, w2pad, 128), jnp.float32
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_images, n_tiles),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, tile_h, w2pad, 128),
+                lambda i, t, *_: (i, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, _CHUNK, 16, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        interpret=interpret,
+    )(starts, xy_x, xy_y, patch)
+
+
+def _scatter_patches_fwd(
+    patch, starts, xy_x, xy_y,
+    num_images, n_tiles, tile_h, w2pad, out_h, out_w, pack, interpret,
+):
+    out = _scatter_patches(
+        patch, starts, xy_x, xy_y,
+        num_images, n_tiles, tile_h, w2pad, out_h, out_w, pack, interpret,
+    )
+    return out, (starts, xy_x, xy_y, patch.shape[0])
+
+
+def _scatter_patches_bwd(
+    num_images, n_tiles, tile_h, w2pad, out_h, out_w, pack, interpret,
+    res, g,
+):
+    starts, xy_x, xy_y, n = res
+    m = xy_x.shape[0]           # real bank rows; patch also has a _CHUNK
+    a4 = jnp.arange(4, dtype=jnp.int32)   # DMA-tail pad (n = m + _CHUNK)
+    ox0 = jnp.where(xy_x >= 2, (xy_x - 2) // 2, -((3 - xy_x) // 2))
+    oy0 = jnp.where(xy_y >= 2, (xy_y - 2) // 2, -((3 - xy_y) // 2))
+    # owner image of each bank row from the CSR offsets (padding rows sit
+    # past starts[-1]; clamp them onto image 0 — their cotangent is masked
+    # to zero by stem_patches' in-grid/in-range masks)
+    row = jnp.arange(m, dtype=jnp.int32)
+    img = jnp.searchsorted(starts, row, side="right") - 1
+    img = jnp.clip(img, 0, num_images - 1)
+    rows = ox0[:, None] + a4                                 # [N, 4] out rows
+    grp = jnp.where(                                         # [N, 4] col group
+        oy0[:, None] + a4 >= 0, (oy0[:, None] + a4) // pack, 0
+    )
+    h_pad, w_pad = n_tiles * tile_h, w2pad
+    valid = (
+        (rows >= 0) & (rows < h_pad)
+        & (grp >= 0) & (grp < w_pad)
+    )
+    rows_c = jnp.clip(rows, 0, h_pad - 1)
+    grp_c = jnp.clip(grp, 0, w_pad - 1)
+    # dpatch[n, a*4+b, :] = g[img(n), ox0+a, grp(b), :]
+    dp = g[img[:, None, None], rows_c[:, :, None], grp_c[:, None, :], :]
+    dp = dp * valid[:, :, None, None]                         # [N, 4, 4, 128]
+    # bank rows outside every CSR range (OOB-owner padding, the _CHUNK DMA
+    # tail) were never read by the forward scatter: zero their cotangent
+    covered = row < starts[-1]
+    dp = dp * covered[:, None, None, None]
+    dp = jnp.pad(dp.reshape(m, 16, 128), ((0, n - m), (0, 0), (0, 0)))
+    return (dp, None, None, None)
+
+
+_scatter_patches.defvjp(_scatter_patches_fwd, _scatter_patches_bwd)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("num_images", "height", "width", "interpret"),
 )
@@ -252,34 +348,12 @@ def coo_stem_conv_pallas(
     patch = stem_patches(xy, values, kernel_weights, height, width)
     patch = jnp.pad(patch, ((0, _CHUNK), (0, 0), (0, 0)))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,                   # starts, x, y
-        grid=(num_images, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, _TILE_H, w2pad, 128),
-            lambda i, t, *_: (i, t, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, _CHUNK, 16, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    packed = pl.pallas_call(
-        functools.partial(
-            _kernel, out_h, out_w, pack, _TILE_H, w2, w2pad, _CHUNK
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (num_images, out_h_pad, w2pad, 128), jnp.float32
-        ),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(
+    packed = _scatter_patches(
+        patch,
         starts.astype(jnp.int32),
         xy[:, 0].astype(jnp.int32),
         xy[:, 1].astype(jnp.int32),
-        patch,
+        num_images, n_tiles, _TILE_H, w2pad, out_h, out_w, pack, interpret,
     )
     # unpack: [B, H, W2PAD, pack, C_out] -> columns w = group*pack + slot
     grid = packed.reshape(num_images, out_h_pad, w2pad * pack, c_out)

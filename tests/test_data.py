@@ -9,6 +9,7 @@ from dune_transformercvn_tpu.data.schema import (
     IMAGE_HEIGHT,
     IMAGE_WIDTH,
     MAX_PRONGS,
+    make_synthetic_file,
     remap_event_current_targets,
 )
 
@@ -206,6 +207,59 @@ def test_batcher_tail_marks_padded_rows_invalid(synthetic_file):
     fixed = Batcher(ds, batch_size=16, drop_last=False, fixed_shape=True)
     for batch in fixed.epoch(0):
         pass  # no cap-overflow ValueError
+
+
+def test_batcher_fixed_caps_tight_on_skewed_data(tmp_path):
+    """Fixed-shape caps use the sum of the top-b per-event counts, not
+    ``b * max``: one 4,000-hit event among ~40-hit events no longer forces
+    a 64k-row COO bucket onto every batch — and the caps still bound every
+    realized batch, including shuffled epochs and the wrap-padded tail."""
+    import h5py
+
+    path = str(tmp_path / "skew.h5")
+    make_synthetic_file(path, num_events=70, mean_hits_per_image=40, seed=2)
+    # graft one giant event image (heavy-tailed skew) onto event 0
+    with h5py.File(path, "r+") as f:
+        idx = f["event_compressed_index"][:]
+        coords = f["event_pixels_coordinates"][:]
+        values = f["event_pixels_values"][:]
+        rng = np.random.default_rng(0)
+        big = 4000
+        bx = rng.integers(0, 400, big)
+        by = rng.integers(0, 280, big)
+        big_coords = np.stack([np.zeros(big, np.int64), bx, by], 1)
+        big_values = rng.uniform(1, 255, (big, values.shape[1])).astype(
+            values.dtype)
+        lo, hi = idx[0]
+        new_coords = np.concatenate([big_coords, coords[hi:]])
+        new_values = np.concatenate([big_values, values[hi:]])
+        shift = big - (hi - lo)
+        idx[0] = (0, big)
+        idx[1:] += shift
+        del f["event_pixels_coordinates"], f["event_pixels_values"]
+        del f["event_compressed_index"]
+        f.create_dataset("event_pixels_coordinates", data=new_coords)
+        f.create_dataset("event_pixels_values", data=new_values)
+        f.create_dataset("event_compressed_index", data=idx)
+
+    ds = EventDataset(path)
+    b = 16
+    fixed = Batcher(ds, batch_size=b, coo_granularity=256, fixed_shape=True,
+                    shuffle=True, seed=4)
+    counts = ds.event_compressed_index[:, 1] - ds.event_compressed_index[:, 0]
+    top_b = np.sort(counts)[::-1][:b].sum()
+    assert fixed.fixed_caps.event_hits < b * counts.max() / 4
+    assert fixed.fixed_caps.event_hits >= top_b
+    for epoch in range(3):
+        for batch in fixed.epoch(epoch):  # no cap-overflow ValueError
+            assert batch["event_owner"].shape[0] == fixed.fixed_caps.event_hits
+
+    # unshuffled tail that wrap-duplicates the heavy event: 70 % 16 = 6, so
+    # moving the giant to the tail region exercises the duplicate bound
+    tail_fixed = Batcher(ds, batch_size=b, coo_granularity=256,
+                         fixed_shape=True, drop_last=False)
+    for batch in tail_fixed.epoch(0):
+        pass
 
 
 def test_batcher_prefetch_matches_sync(synthetic_file):

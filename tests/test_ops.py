@@ -254,3 +254,64 @@ def test_pallas_coo_stem_matches_xla_scatter():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
         )
+
+
+def test_pallas_coo_stem_grad_matches_xla_scatter():
+    """The hand-written VJP of the Pallas scatter (a row gather of the
+    output cotangent) gives the same gradients wrt hit values, kernel
+    weights, and bias as differentiating the XLA scatter path — including
+    dropped out-of-grid taps and CSR padding rows, whose cotangents must
+    vanish."""
+    from dune_transformercvn_tpu.ops.coo_conv import coo_stem_conv
+    from dune_transformercvn_tpu.ops.pallas_coo_stem import coo_stem_conv_pallas
+
+    rng = np.random.default_rng(7)
+    B, H, W, c_in, c_out = 2, 48, 40, 3, 64
+    counts = [11, 6]
+    xy, vals, owner = [], [], []
+    for b, nb in enumerate(counts):
+        xy.append(np.stack(
+            [rng.integers(0, H, nb), rng.integers(0, W, nb)], 1))
+        vals.append(rng.normal(size=(nb, c_in)).astype(np.float32))
+        owner.append(np.full(nb, b))
+    # malformed coordinate (drop-mode) + padding rows past the CSR ranges
+    xy.append(np.array([[H + 1, 2]]))
+    vals.append(np.ones((1, c_in), np.float32))
+    owner.append(np.full(1, B - 1))
+    xy.append(np.zeros((3, 2), int))
+    vals.append(np.ones((3, c_in), np.float32))
+    owner.append(np.full(3, B))
+    xy = np.concatenate(xy).astype(np.int32)
+    vals = np.concatenate(vals)
+    owner = np.concatenate(owner).astype(np.int32)
+    starts = np.asarray([0, 11, 18], np.int32)
+
+    wk = rng.normal(size=(7, 7, c_in, c_out)).astype(np.float32) * 0.1
+    bias = rng.normal(size=(c_out,)).astype(np.float32)
+    out_h, out_w = (H + 6 - 7) // 2 + 1, (W + 6 - 7) // 2 + 1
+    cot = rng.normal(size=(B, out_h, out_w, c_out)).astype(np.float32)
+
+    def loss_ref(vals, wk, bias):
+        out = coo_stem_conv(
+            jnp.asarray(xy), vals, jnp.asarray(owner), wk, bias,
+            batch=B, height=H, width=W,
+        )
+        return jnp.sum(out * cot)
+
+    def loss_pallas(vals, wk, bias):
+        out = coo_stem_conv_pallas(
+            jnp.asarray(xy), vals, jnp.asarray(starts), wk, bias,
+            num_images=B, height=H, width=W, interpret=True,
+        )
+        return jnp.sum(out * cot)
+
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(
+        jnp.asarray(vals), jnp.asarray(wk), jnp.asarray(bias))
+    g_pal = jax.jit(jax.grad(loss_pallas, argnums=(0, 1, 2)))(
+        jnp.asarray(vals), jnp.asarray(wk), jnp.asarray(bias))
+    for a, b, name in zip(g_ref, g_pal, ("values", "weights", "bias")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+            err_msg=name)
+    # dropped/padding rows must receive zero value-gradient
+    np.testing.assert_array_equal(np.asarray(g_pal[0][17:]), 0.0)

@@ -37,6 +37,12 @@ import sys
 
 import numpy as np
 
+# The harness is invoked as tools/parity_run.py, so the repo root is
+# neither sys.path[0] (the script's dir) nor implicitly importable; the
+# subprocess stages likewise need absolute CLI paths.
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
 
 def sh(cmd, **kw):
     print("+", " ".join(cmd), flush=True)
@@ -47,7 +53,7 @@ def train_ours(args):
     run_root = os.path.join(args.workdir, "ours")
     if not os.path.isdir(run_root):
         sh([
-            sys.executable, "train.py",
+            sys.executable, os.path.join(REPO, "train.py"),
             "-o", args.options, "-n", "parity", "-l", run_root,
             "--max_steps", str(args.steps), "-v",
             "--training_file", args.data,
@@ -66,7 +72,8 @@ def train_ours(args):
 def eval_ours(args, run_dir):
     out = os.path.join(run_dir, "eval_predictions.h5")
     if not os.path.exists(out):
-        sh([sys.executable, "evaluate.py", run_dir, "--checkpoint", "last"])
+        sh([sys.executable, os.path.join(REPO, "evaluate.py"), run_dir,
+            "--checkpoint", "last"])
     import h5py
 
     with h5py.File(out, "r") as f:
