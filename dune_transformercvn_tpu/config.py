@@ -194,7 +194,11 @@ class Options:
         # Packed-prong bucket sizes expressed as average prongs-per-event.  The
         # host batcher packs only the real prong images and rounds the packed
         # count up to batch_size * multiplier, bounding XLA recompilation.
-        self.prong_bucket_multipliers: List[int] = [4, 8, 12, 16, 21]
+        # Unit steps through 4-8 matter: real events average ~5 prongs, and a
+        # 4->8 jump padded every batch's prong-CNN work (the dominant FLOP
+        # consumer) to ~63% occupancy; the finer rungs lift it to ~85% for a
+        # couple of extra (disk-cached) XLA specializations per run.
+        self.prong_bucket_multipliers: List[int] = [4, 5, 6, 7, 8, 10, 12, 16, 21]
 
         # COO hit-count buckets are rounded up to this granularity (per shard).
         self.coo_bucket_granularity: int = 8192

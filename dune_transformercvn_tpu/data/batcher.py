@@ -67,7 +67,7 @@ class Batcher:
         dataset,
         batch_size: int,
         num_shards: int = 1,
-        prong_bucket_multipliers: Sequence[int] = (4, 8, 12, 16, 21),
+        prong_bucket_multipliers: Sequence[int] = (4, 5, 6, 7, 8, 10, 12, 16, 21),
         coo_granularity: int = 8192,
         shuffle: bool = False,
         seed: int = 0,

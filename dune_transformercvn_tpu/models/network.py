@@ -229,6 +229,7 @@ def create_pixel_embedder(cfg: ModelConfig, output_dim: int, name: str) -> nn.Mo
             output_dim=output_dim,
             initial_features=cfg.initial_pixel_dim,
             structure=cfg.mobilenet_structure or DEFAULT_STRUCTURE,
+            input_shape=(cfg.image_height, cfg.image_width),
             dropout=cfg.dropout,
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,

@@ -23,7 +23,7 @@ def small_images(seed=0, n=3, h=64, w=48, c=3, occupancy=0.05):
     "factory",
     [
         lambda: MobileNetV2(
-            output_dim=16, initial_features=8, last_features=32,
+            output_dim=16, initial_features=8,
             structure=((1, 8, 1, 1), (4, 16, 2, 2)),
         ),
         lambda: ResNetStack(output_dim=16, initial_features=8, block_config=(1, 1)),
@@ -321,7 +321,7 @@ def test_multi_head_pooling():
     "factory",
     [
         lambda: MobileNetV2(
-            output_dim=16, initial_features=8, last_features=32,
+            output_dim=16, initial_features=8,
             structure=((1, 8, 1, 1), (4, 16, 2, 2)),
         ),
         lambda: ResNetStack(output_dim=16, initial_features=8, block_config=(1, 1)),

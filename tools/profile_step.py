@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Profile the production train step and break device time down by op class.
+
+Runs N steps of the jitted train step at one or more batch sizes, captures a
+``jax.profiler`` trace, and aggregates the device's **XLA Ops** lane (the
+per-op timeline; the ``Steps``/``XLA Modules`` lanes duplicate the same
+wall-time at coarser granularity and must not be summed with it).
+
+Used to attribute the b16-vs-b64 per-event throughput gap and to measure
+byte-level experiments (VERDICT r2 items 4 and 5).  Writes
+``/tmp/profile_step_b{N}.json`` per batch size and prints a summary.
+
+Usage:  python tools/profile_step.py [--batch-sizes 16,64] [--steps 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import shutil
+import sys
+from collections import defaultdict
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def classify(name: str) -> str:
+    n = name.lower()
+    if "conv" in n:
+        return "conv-fusion"
+    if n.startswith("copy") or "transpose" in n:
+        return "copy/transpose"
+    if "dot" in n or "matmul" in n:
+        return "matmul"
+    if "scatter" in n:
+        return "scatter"
+    if "custom-call" in n or "pallas" in n:
+        return "pallas/custom"
+    if "rng" in n or "threefry" in n or "rbg" in n:
+        return "rng"
+    if "reduce" in n:
+        return "reduce"
+    return "elementwise/other"
+
+
+def device_op_times(tracedir: str) -> dict:
+    """Per-op durations (seconds) from the device's XLA Ops lane."""
+    files = sorted(glob.glob(f"{tracedir}/**/*.trace.json.gz", recursive=True))
+    if not files:
+        raise RuntimeError(f"no trace files under {tracedir}")
+    data = json.load(gzip.open(files[-1]))
+    ev = data.get("traceEvents", [])
+    pid_names, tid_names = {}, {}
+    for e in ev:
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+        elif e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    lanes = {
+        (p, t) for (p, t), n in tid_names.items()
+        if n == "XLA Ops" and "TPU" in pid_names.get(p, "")
+    }
+    byname: dict = defaultdict(float)
+    for e in ev:
+        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in lanes:
+            byname[e.get("name", "")] += e.get("dur", 0) / 1e6
+    return dict(byname)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-sizes", default="16,64")
+    parser.add_argument("--steps", type=int, default=8)
+    parser.add_argument("--events", type=int, default=192)
+    parser.add_argument("--top", type=int, default=12)
+    args = parser.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from dune_transformercvn_tpu.utils.cache import (
+        enable_compile_cache, enable_fast_prng,
+    )
+    enable_compile_cache()
+    enable_fast_prng()
+    from dune_transformercvn_tpu.config import Options
+    from dune_transformercvn_tpu.data.batcher import Batcher
+    from dune_transformercvn_tpu.parallel.mesh import create_mesh
+    from dune_transformercvn_tpu.train import schedules
+    from dune_transformercvn_tpu.train.optimizer import create_optimizer
+    from dune_transformercvn_tpu.train.state import create_train_state
+    from dune_transformercvn_tpu.train.step import make_train_step
+    from __graft_entry__ import _synthetic_setup
+    from bench import _fetch_scalar
+
+    options = Options.load(os.path.join(
+        REPO, "option_files", "fdhd_beam_2018prod_2023_08_07.json"))
+    options.compute_dtype = "bfloat16"
+    dataset, _, _, model, norm = _synthetic_setup(
+        options, num_events=args.events, embedder="dense")
+    norm = {k: jnp.asarray(v) for k, v in norm.items()}
+    mesh = create_mesh(1)
+    schedule = schedules.from_options(options, steps_per_epoch=100)
+    tx = create_optimizer(options, schedule)
+
+    state0 = None
+    for bsz in (int(b) for b in args.batch_sizes.split(",")):
+        b = Batcher(dataset, batch_size=bsz,
+                    coo_granularity=options.coo_bucket_granularity)
+        batch = {k: jnp.asarray(v)
+                 for k, v in b.build_batch(np.arange(bsz)).items()}
+        options.batch_size = bsz
+        if state0 is None:
+            state0 = create_train_state(model, tx, batch, norm, seed=0)
+        step = make_train_step(
+            model, tx, options, mesh, steps_per_dispatch=1,
+        ).lower(state0, batch).compile()
+        state, warm = step(state0, batch)
+        _fetch_scalar(warm["train_loss"])
+
+        tracedir = f"/tmp/prof_b{bsz}"
+        shutil.rmtree(tracedir, ignore_errors=True)
+        jax.profiler.start_trace(tracedir)
+        m = None
+        for _ in range(args.steps):
+            state, m = step(state, batch)
+        _fetch_scalar(m["train_loss"])
+        jax.profiler.stop_trace()
+
+        byname = device_op_times(tracedir)
+        agg = defaultdict(float)
+        for k, v in byname.items():
+            agg[classify(k)] += v
+        total = sum(byname.values())
+        n_ev = args.steps * bsz
+        print(f"\n=== b{bsz}: device busy {total:.3f}s / {args.steps} steps "
+              f"({total / args.steps * 1e3:.1f} ms/step, "
+              f"{total / n_ev * 1e6:.1f} us/event) ===")
+        for k, v in sorted(agg.items(), key=lambda kv: -kv[1]):
+            print(f"  {k:<20} {v / args.steps * 1e3:8.2f} ms/step "
+                  f"{v / n_ev * 1e6:8.1f} us/ev  ({100 * v / total:4.1f}%)")
+        print(f"  top-{args.top} ops:")
+        for k, v in sorted(byname.items(), key=lambda kv: -kv[1])[:args.top]:
+            print(f"    {v / n_ev * 1e6:8.1f} us/ev  {k[:100]}")
+        json.dump(
+            {"byname": byname, "steps": args.steps, "bsz": bsz},
+            open(f"/tmp/profile_step_b{bsz}.json", "w"))
+
+
+if __name__ == "__main__":
+    main()
