@@ -194,11 +194,13 @@ class Options:
         # Packed-prong bucket sizes expressed as average prongs-per-event.  The
         # host batcher packs only the real prong images and rounds the packed
         # count up to batch_size * multiplier, bounding XLA recompilation.
-        # Unit steps through 4-8 matter: real events average ~5 prongs, and a
-        # 4->8 jump padded every batch's prong-CNN work (the dominant FLOP
-        # consumer) to ~63% occupancy; the finer rungs lift it to ~85% for a
-        # couple of extra (disk-cached) XLA specializations per run.
-        self.prong_bucket_multipliers: List[int] = [4, 5, 6, 7, 8, 10, 12, 16, 21]
+        # None = automatic: unit rungs through 4-8 (real events average ~5
+        # prongs, so the coarse 4->8 jump pads the prong-CNN to ~63%
+        # occupancy) once the per-shard batch is large enough that tighter
+        # packing actually saves device time — below ~128 packed slots the
+        # measured prong-CNN cost is flat (artifacts/prong_slot_shapes_v5e
+        # .json), so small batches keep the coarse ladder.
+        self.prong_bucket_multipliers: Optional[List[int]] = None
 
         # COO hit-count buckets are rounded up to this granularity (per shard).
         self.coo_bucket_granularity: int = 8192

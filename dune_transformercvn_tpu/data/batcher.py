@@ -57,7 +57,8 @@ class Batcher:
     num_shards:
         Data-parallel mesh size; ``batch_size`` must divide evenly.
     prong_bucket_multipliers:
-        Ladder of packed-prong capacities in average-prongs-per-event.
+        Ladder of packed-prong capacities in average-prongs-per-event, or
+        ``None`` for the measured-optimal automatic choice (see below).
     coo_granularity:
         COO hit-count bucket granularity per shard.
     """
@@ -67,7 +68,7 @@ class Batcher:
         dataset,
         batch_size: int,
         num_shards: int = 1,
-        prong_bucket_multipliers: Sequence[int] = (4, 5, 6, 7, 8, 10, 12, 16, 21),
+        prong_bucket_multipliers: Optional[Sequence[int]] = None,
         coo_granularity: int = 8192,
         shuffle: bool = False,
         seed: int = 0,
@@ -82,6 +83,23 @@ class Batcher:
         self.batch_size = batch_size
         self.num_shards = num_shards
         self.per_shard = batch_size // num_shards
+        if prong_bucket_multipliers is None:
+            # Measured on the v5e (artifacts/prong_slot_shapes_v5e.json): XLA
+            # lays the prong-CNN activations out with the slot dim on the
+            # 128-wide lane axis, so device cost is FLAT between multiples of
+            # 128 packed slots (80/96/112 slots all cost the same as 128) and
+            # steps ~linearly above.  Rungs whose slot count is not a
+            # multiple of 128 therefore save no device time — they only add
+            # XLA specializations.  Large per-shard batches get every
+            # lane-aligned rung (unit steps at per_shard >= 128); small ones
+            # keep the coarse reference-occupancy ladder.
+            aligned = [
+                m for m in range(4, MAX_PRONGS + 1)
+                if (m * self.per_shard) % 128 == 0
+            ]
+            prong_bucket_multipliers = (
+                aligned if self.per_shard >= 32 else (4, 8, 12, 16, 21)
+            )
         self.multipliers = sorted(set(int(m) for m in prong_bucket_multipliers) | {MAX_PRONGS + 1})
         self.coo_granularity = coo_granularity
         self.shuffle = shuffle

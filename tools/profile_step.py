@@ -49,6 +49,18 @@ def classify(name: str) -> str:
 
 def device_op_times(tracedir: str) -> dict:
     """Per-op durations (seconds) from the device's XLA Ops lane."""
+    return {k: v["dur"] for k, v in device_op_stats(tracedir).items()}
+
+
+def device_op_stats(tracedir: str) -> dict:
+    """Per-op stats from the device's XLA Ops lane.
+
+    Returns ``{name: {dur (s), bytes (accessed), category, long_name}}``.
+    ``hlo_category`` (from the compiler, e.g. "convolution fusion") is far
+    more reliable than guessing from op names — most big ops are just
+    "fusion.N"; ``bytes_accessed`` enables per-op achieved-bandwidth
+    (roofline) attribution.
+    """
     files = sorted(glob.glob(f"{tracedir}/**/*.trace.json.gz", recursive=True))
     if not files:
         raise RuntimeError(f"no trace files under {tracedir}")
@@ -66,11 +78,21 @@ def device_op_times(tracedir: str) -> dict:
         (p, t) for (p, t), n in tid_names.items()
         if n == "XLA Ops" and "TPU" in pid_names.get(p, "")
     }
-    byname: dict = defaultdict(float)
+    stats: dict = {}
     for e in ev:
         if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in lanes:
-            byname[e.get("name", "")] += e.get("dur", 0) / 1e6
-    return dict(byname)
+            name = e.get("name", "")
+            args = e.get("args") or {}
+            s = stats.setdefault(
+                name,
+                {"dur": 0.0, "bytes": 0, "category": "", "long_name": ""},
+            )
+            s["dur"] += e.get("dur", 0) / 1e6
+            s["bytes"] += int(args.get("bytes_accessed", 0) or 0)
+            if not s["category"]:
+                s["category"] = args.get("hlo_category", "")
+                s["long_name"] = args.get("long_name", "")[:240]
+    return stats
 
 
 def main():
@@ -134,23 +156,27 @@ def main():
         _fetch_scalar(m["train_loss"])
         jax.profiler.stop_trace()
 
-        byname = device_op_times(tracedir)
+        stats = device_op_stats(tracedir)
         agg = defaultdict(float)
-        for k, v in byname.items():
-            agg[classify(k)] += v
-        total = sum(byname.values())
+        for k, v in stats.items():
+            agg[v["category"] or classify(k)] += v["dur"]
+        total = sum(v["dur"] for v in stats.values())
         n_ev = args.steps * bsz
         print(f"\n=== b{bsz}: device busy {total:.3f}s / {args.steps} steps "
               f"({total / args.steps * 1e3:.1f} ms/step, "
               f"{total / n_ev * 1e6:.1f} us/event) ===")
         for k, v in sorted(agg.items(), key=lambda kv: -kv[1]):
-            print(f"  {k:<20} {v / args.steps * 1e3:8.2f} ms/step "
+            print(f"  {k:<24} {v / args.steps * 1e3:8.2f} ms/step "
                   f"{v / n_ev * 1e6:8.1f} us/ev  ({100 * v / total:4.1f}%)")
-        print(f"  top-{args.top} ops:")
-        for k, v in sorted(byname.items(), key=lambda kv: -kv[1])[:args.top]:
-            print(f"    {v / n_ev * 1e6:8.1f} us/ev  {k[:100]}")
+        print(f"  top-{args.top} ops (GB/s = bytes_accessed / device time):")
+        ranked = sorted(stats.items(), key=lambda kv: -kv[1]["dur"])
+        for k, v in ranked[:args.top]:
+            bw = v["bytes"] / v["dur"] / 1e9 if v["dur"] else 0.0
+            print(f"    {v['dur'] / n_ev * 1e6:8.1f} us/ev {bw:7.0f} GB/s "
+                  f"[{v['category']:<22}] {k[:60]}")
+            print(f"        {v['long_name'][:150]}")
         json.dump(
-            {"byname": byname, "steps": args.steps, "bsz": bsz},
+            {"stats": stats, "steps": args.steps, "bsz": bsz},
             open(f"/tmp/profile_step_b{bsz}.json", "w"))
 
 
