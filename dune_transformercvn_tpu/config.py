@@ -227,6 +227,13 @@ class Options:
         # more FLOPs for O(depth) less activation memory (larger batches).
         self.remat_cnn: bool = False
 
+        # Rematerialize each WHOLE pixel embedder (nn.remat around the CNN):
+        # only its inputs/outputs persist across forward; the backward
+        # recomputes the CNN (nesting with remat_cnn keeps the recompute's
+        # own temps per-bottleneck).  Unlocks batch 128 on a 16 GB chip,
+        # where the packed-prong stem activations alone are ~2.6 GB.
+        self.remat_embedder: bool = False
+
         # Cross-replica synchronized batch-norm statistics (the reference runs
         # unsynced per-GPU BN under DDP; sync keeps replicated state exact).
         self.sync_batch_norm: bool = True

@@ -18,6 +18,7 @@ TPU-first specifics:
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field, replace
 from typing import Optional, Tuple
 
@@ -81,6 +82,7 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     axis_name: Optional[str] = None
     remat_cnn: bool = False
+    remat_embedder: bool = False
     # Reference quirk (neutrino_full_base_network.py:107): prongs reuse the
     # *event* position embedding; set True to use the dedicated prong vector.
     fix_prong_position_embedding: bool = False
@@ -152,6 +154,7 @@ class ModelConfig:
             compute_dtype=options.compute_dtype,
             axis_name=axis_name,
             remat_cnn=options.remat_cnn,
+            remat_embedder=getattr(options, "remat_embedder", False),
         )
 
     @property
@@ -163,10 +166,12 @@ class ModelConfig:
         return self.pixel_channels * 256 if self.one_hot_pixels else self.pixel_channels
 
 
-def create_pixel_embedder(cfg: ModelConfig, output_dim: int, name: str) -> nn.Module:
-    """Embedder registry: one CNN family per reference network subclass."""
+def _embedder_spec(cfg: ModelConfig, output_dim: int):
+    """Embedder registry: one CNN family per reference network subclass.
+    Returns ``(module_class, constructor_kwargs)`` so wrappers (nn.remat)
+    can be applied to the class before instantiation."""
     if cfg.embedder == "dense":
-        return DenseNet(
+        return DenseNet, dict(
             output_dim=output_dim,
             initial_features=cfg.initial_pixel_dim,
             growth_rate=cfg.densenet_growth_rate,
@@ -176,24 +181,22 @@ def create_pixel_embedder(cfg: ModelConfig, output_dim: int, name: str) -> nn.Mo
             remat=cfg.remat_cnn,
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,
-            name=name,
         )
     if cfg.embedder == "sdxl":
         from .sdxl import SDXLEncoder
 
-        return SDXLEncoder(
+        return SDXLEncoder, dict(
             output_dim=output_dim,
             init_block_dim=cfg.initial_pixel_dim,
             repeat_block_dim=2,
             num_blocks=4,
             norm_num_groups=1,
             dtype=cfg.dtype,
-            name=name,
         )
     if cfg.embedder == "coo":
         from .coo_densenet import CooStemDenseNet
 
-        return CooStemDenseNet(
+        return CooStemDenseNet, dict(
             output_dim=output_dim,
             image_height=cfg.image_height,
             image_width=cfg.image_width,
@@ -205,12 +208,11 @@ def create_pixel_embedder(cfg: ModelConfig, output_dim: int, name: str) -> nn.Mo
             remat=cfg.remat_cnn,
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,
-            name=name,
         )
     if cfg.embedder == "sparse":
         from .sparse_densenet import SparseDenseNet
 
-        return SparseDenseNet(
+        return SparseDenseNet, dict(
             output_dim=output_dim,
             initial_features=cfg.initial_pixel_dim,
             growth_rate=cfg.densenet_growth_rate,
@@ -220,12 +222,11 @@ def create_pixel_embedder(cfg: ModelConfig, output_dim: int, name: str) -> nn.Mo
             remat=cfg.remat_cnn,
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,
-            name=name,
         )
     if cfg.embedder == "mobilenet":
         from .mobilenet import DEFAULT_STRUCTURE, MobileNetV2
 
-        return MobileNetV2(
+        return MobileNetV2, dict(
             output_dim=output_dim,
             initial_features=cfg.initial_pixel_dim,
             structure=cfg.mobilenet_structure or DEFAULT_STRUCTURE,
@@ -233,42 +234,51 @@ def create_pixel_embedder(cfg: ModelConfig, output_dim: int, name: str) -> nn.Mo
             dropout=cfg.dropout,
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,
-            name=name,
         )
     if cfg.embedder == "resnet":
         from .resnet import ResNetStack
 
-        return ResNetStack(
+        return ResNetStack, dict(
             output_dim=output_dim,
             initial_features=cfg.initial_pixel_dim,
             dropout=cfg.dropout,
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,
-            name=name,
         )
     if cfg.embedder == "convnext":
         from .sparse_convnext import SparseConvNeXt
 
-        return SparseConvNeXt(
+        return SparseConvNeXt, dict(
             output_dim=output_dim,
             drop_path_rate=cfg.dropout,
             dropout=cfg.dropout,
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,
-            name=name,
         )
     if cfg.embedder == "fcnn":
         from .sparse_fcnn import SparseFCNN
 
-        return SparseFCNN(
+        return SparseFCNN, dict(
             output_dim=output_dim,
             initial_features=cfg.initial_pixel_dim,
             dropout=cfg.dropout,
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,
-            name=name,
         )
     raise ValueError(f"unknown embedder family: {cfg.embedder}")
+
+
+def create_pixel_embedder(cfg: ModelConfig, output_dim: int, name: str) -> nn.Module:
+    """Instantiate the configured embedder family as submodule ``name``."""
+    cls, kwargs = _embedder_spec(cfg, output_dim)
+    if cfg.remat_embedder:
+        # Whole-embedder rematerialization: only the CNN's inputs/outputs
+        # persist across forward; the backward recomputes the CNN (nesting
+        # with per-bottleneck remat keeps the recompute's own temps small).
+        # The lifted transform keeps the explicit ``name``, so the parameter
+        # tree — and checkpoints — are identical with the flag off.
+        cls = nn.remat(cls, static_argnums=(3,))
+    return cls(**kwargs, name=name)
 
 
 class TransformerCVN(nn.Module):

@@ -10,6 +10,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import linen as nn
 import pytest
 
 from dune_transformercvn_tpu.config import Options
@@ -167,6 +168,50 @@ def test_densenet_remat_same_params_and_grads():
     g2 = jax.jit(jax.grad(lambda v: loss(remat, v)))(v)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_remat_embedder_same_params_and_outputs():
+    """remat_embedder=True (whole-CNN nn.remat, the batch-128 memory mode)
+    must keep the param tree identical to the plain build — checkpoints stay
+    loadable across the toggle — and produce the same outputs/gradients."""
+    from dune_transformercvn_tpu.models.network import create_pixel_embedder
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 48, 40, 3)).astype(np.float32)
+    )
+    cfg_kw = dict(densenet_structure=(1, 1), densenet_growth_rate=4,
+                  densenet_batch_norm_size=2, initial_pixel_dim=8)
+
+    class Host(nn.Module):
+        remat_embedder: bool
+
+        @nn.compact
+        def __call__(self, x):
+            cfg = ModelConfig(remat_embedder=self.remat_embedder,
+                              remat_cnn=self.remat_embedder, **cfg_kw)
+            return create_pixel_embedder(cfg, 8, "event_pixel_embedding")(
+                x, None, False
+            )
+
+    plain, wrapped = Host(False), Host(True)
+    v = jax.jit(plain.init)(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        jax.jit(wrapped.init)(jax.random.PRNGKey(0), x)
+    )
+
+    def loss(net, v):
+        return jnp.sum(net.apply(v, x, mutable=["batch_stats"])[0])
+
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(lambda v: loss(plain, v))(v)),
+        np.asarray(jax.jit(lambda v: loss(wrapped, v))(v)), rtol=1e-6)
+    g1 = jax.jit(jax.grad(lambda v: loss(plain, v)))(v)
+    g2 = jax.jit(jax.grad(lambda v: loss(wrapped, v)))(v)
+    # the remat backward recomputes through different fusion boundaries, so
+    # fp32 rounding differs at the last few ulps
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-5)
 
 
 def test_encoder_mask_blocks_padded_keys():
