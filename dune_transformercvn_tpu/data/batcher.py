@@ -83,24 +83,31 @@ class Batcher:
         self.batch_size = batch_size
         self.num_shards = num_shards
         self.per_shard = batch_size // num_shards
-        if prong_bucket_multipliers is None:
+        # The ladder is stored as absolute slot capacities; multipliers (in
+        # average-prongs-per-event) are the user-facing unit.
+        if prong_bucket_multipliers is not None:
+            caps = {int(m) * self.per_shard
+                    for m in prong_bucket_multipliers}
+            caps.add((MAX_PRONGS + 1) * self.per_shard)
+        elif self.per_shard >= 32:
             # Measured on the v5e (artifacts/prong_slot_shapes_v5e.json): XLA
             # lays the prong-CNN activations out with the slot dim on the
             # 128-wide lane axis, so device cost is FLAT between multiples of
             # 128 packed slots (80/96/112 slots all cost the same as 128) and
-            # steps ~linearly above.  Rungs whose slot count is not a
-            # multiple of 128 therefore save no device time — they only add
-            # XLA specializations.  Large per-shard batches get every
-            # lane-aligned rung (unit steps at per_shard >= 128); small ones
-            # keep the coarse reference-occupancy ladder.
-            aligned = [
-                m for m in range(4, MAX_PRONGS + 1)
-                if (m * self.per_shard) % 128 == 0
-            ]
-            prong_bucket_multipliers = (
-                aligned if self.per_shard >= 32 else (4, 8, 12, 16, 21)
-            )
-        self.multipliers = sorted(set(int(m) for m in prong_bucket_multipliers) | {MAX_PRONGS + 1})
+            # steps ~linearly above.  Rungs that are not multiples of 128
+            # save no device time — they only add XLA specializations — so
+            # the auto ladder is every multiple of 128 spanning 4 prongs/
+            # event up to the MAX_PRONGS+1 worst case.  (Capacity space, not
+            # multiplier space: per_shard values sharing few factors with
+            # 128 — e.g. 33 or 40 — have no useful lane-aligned multiplier,
+            # which previously collapsed the ladder to the max rung alone.)
+            lo = -(-(4 * self.per_shard) // 128)
+            hi = -(-((MAX_PRONGS + 1) * self.per_shard) // 128)
+            caps = {128 * r for r in range(lo, hi + 1)}
+        else:
+            # Small shards keep the coarse reference-occupancy ladder.
+            caps = {m * self.per_shard for m in (4, 8, 12, 16, 21, MAX_PRONGS + 1)}
+        self.capacity_ladder = sorted(caps)
         self.coo_granularity = coo_granularity
         self.shuffle = shuffle
         self.seed = seed
@@ -163,10 +170,10 @@ class Batcher:
     # -------------------------------------------------------------------------
 
     def _prong_capacity(self, max_needed: int) -> int:
-        for m in self.multipliers:
-            if m * self.per_shard >= max_needed:
-                return m * self.per_shard
-        return (MAX_PRONGS + 1) * self.per_shard
+        for cap in self.capacity_ladder:
+            if cap >= max_needed:
+                return cap
+        return self.capacity_ladder[-1]
 
     def build_batch(
         self, indices: np.ndarray, valid: Optional[np.ndarray] = None

@@ -64,6 +64,20 @@ class CooStemDenseNet(nn.Module):
             # batcher's owner-sorted CSR offsets enabling the Pallas scatter
             xy, values, owner, num_rows, *rest = inputs
             starts = rest[0] if rest else None
+            if not isinstance(num_rows, int):
+                # Under lifted transforms (nn.remat) Python-int pytree
+                # leaves arrive traced, but the stem needs a static output
+                # row count; recover it from an array shape instead.
+                if starts is not None:
+                    num_rows = starts.shape[0] - 1
+                elif mask is not None:
+                    num_rows = mask.shape[0]
+                else:
+                    raise ValueError(
+                        "CooStemDenseNet under a lifted transform needs "
+                        "either CSR starts or a row mask to recover the "
+                        "static row count (num_rows was traced)"
+                    )
             c_in = values.shape[-1]
         else:
             c_in = inputs.shape[-1]

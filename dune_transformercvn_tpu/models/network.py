@@ -18,7 +18,6 @@ TPU-first specifics:
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field, replace
 from typing import Optional, Tuple
 

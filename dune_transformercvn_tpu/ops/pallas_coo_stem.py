@@ -90,8 +90,12 @@ def stem_patches(
     ox0 = (x - 2) // 2
     oy0 = (y - 2) // 2
 
-    # Parity-specific tap tables: W_par[px, py] : [C_in, 4*4*C_out]
-    w32 = kernel_weights.astype(jnp.float32)
+    # Parity-specific tap tables: W_par[px, py] : [C_in, 4*4*C_out].
+    # Round the weights to the compute dtype FIRST (then accumulate fp32),
+    # matching the XLA fallback's kernel_weights.astype(values.dtype) dot
+    # and the dense family's stem_kernel.astype(dtype) conv — without this
+    # the Pallas path computes with unrounded fp32 weights under bf16.
+    w32 = kernel_weights.astype(values.dtype).astype(jnp.float32)
     offs = {p: [(5 + p) - 2 * a for a in range(4)] for p in (0, 1)}
 
     def tap(ax, by):

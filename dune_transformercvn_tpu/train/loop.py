@@ -484,77 +484,91 @@ class Trainer:
                 host.pop("grad_norm", None)
             self.logger.log_scalars(host, log_step)
 
-        for epoch in range(start_epoch, options.epochs):
-            start_batch, resume_skip = resume_skip, 0
-            host_iterator = self.train_batcher.prefetch_epoch(
-                epoch,
-                depth=max(2, self.num_workers),
-                num_workers=self.num_workers,
-                start_batch=start_batch,
-            )
-            for took, batch, step_fn in self._train_dispatch_iter(
-                host_iterator, max_batches=limit - step
-            ):
+        try:
+            for epoch in range(start_epoch, options.epochs):
+                start_batch, resume_skip = resume_skip, 0
+                host_iterator = self.train_batcher.prefetch_epoch(
+                    epoch,
+                    depth=max(2, self.num_workers),
+                    num_workers=self.num_workers,
+                    start_batch=start_batch,
+                )
+                for took, batch, step_fn in self._train_dispatch_iter(
+                    host_iterator, max_batches=limit - step
+                ):
+                    if step >= limit:
+                        break
+                    if (
+                        profile_dir is not None
+                        and step - start_step >= 10
+                        and not profiling
+                    ):
+                        jax.profiler.start_trace(profile_dir)
+                        profiling = True
+                    if self.log_graph and self.run_dir is not None:
+                        self.log_graph = False
+                        path = os.path.join(
+                            self.run_dir, "train_step.stablehlo.txt"
+                        )
+                        with open(path, "w") as f:
+                            f.write(step_fn.lower(self.state, batch).as_text())
+                        if self.verbose:
+                            print(f"Train-step graph written to {path}")
+                    self.state, metrics = step_fn(self.state, batch)
+                    step += took
+                    window_events += self.global_batch * took
+                    if profiling and step - start_step >= 15:
+                        jax.block_until_ready(self.state.params)
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        if self.verbose:
+                            print(f"Profiler trace written to {profile_dir}")
+                        profile_dir = None  # capture exactly one trace per run
+
+                    flush_pending_log()
+                    if self.logger.enabled and (step % 10 < took or step <= 2):
+                        pending_log = (step, metrics)
+
+                    if step % eval_interval < took:
+                        flush_pending_log()
+                        last_val = self.validate()
+                        last_eval_step = step
+                        self.logger.log_scalars(last_val, step)
+                        self._log_confusions(last_val, step)
+                        self._checkpoint(last_val)
+                        for callback in self.callbacks:
+                            callback(step, last_val)
+                        if self.verbose:
+                            print(
+                                f"step {step}: val_epoch_AUC="
+                                f"{last_val['val_epoch_AUC']:.4f} "
+                                f"val_epoch_accuracy="
+                                f"{last_val['val_epoch_accuracy']:.4f}"
+                            )
                 if step >= limit:
                     break
-                if profile_dir is not None and step - start_step >= 10 and not profiling:
-                    jax.profiler.start_trace(profile_dir)
-                    profiling = True
-                if self.log_graph and self.run_dir is not None:
-                    self.log_graph = False
-                    path = os.path.join(self.run_dir, "train_step.stablehlo.txt")
-                    with open(path, "w") as f:
-                        f.write(step_fn.lower(self.state, batch).as_text())
-                    if self.verbose:
-                        print(f"Train-step graph written to {path}")
-                self.state, metrics = step_fn(self.state, batch)
-                step += took
-                window_events += self.global_batch * took
-                if profiling and step - start_step >= 15:
-                    jax.block_until_ready(self.state.params)
-                    jax.profiler.stop_trace()
-                    profiling = False
-                    if self.verbose:
-                        print(f"Profiler trace written to {profile_dir}")
-                    profile_dir = None  # capture exactly one trace per run
 
-                flush_pending_log()
-                if self.logger.enabled and (step % 10 < took or step <= 2):
-                    pending_log = (step, metrics)
+            if profiling:  # trace still open (run shorter than 15 steps)
+                jax.profiler.stop_trace()
+                profiling = False
+            flush_pending_log()
 
-                if step % eval_interval < took:
-                    flush_pending_log()
-                    last_val = self.validate()
-                    last_eval_step = step
-                    self.logger.log_scalars(last_val, step)
-                    self._log_confusions(last_val, step)
-                    self._checkpoint(last_val)
-                    for callback in self.callbacks:
-                        callback(step, last_val)
-                    if self.verbose:
-                        print(
-                            f"step {step}: val_epoch_AUC="
-                            f"{last_val['val_epoch_AUC']:.4f} "
-                            f"val_epoch_accuracy={last_val['val_epoch_accuracy']:.4f}"
-                        )
-            if step >= limit:
-                break
-
-        if profiling:  # trace still open (run shorter than 15 steps)
-            jax.profiler.stop_trace()
-        flush_pending_log()
-
-        # final validation + checkpoint (unless the last step already did it)
-        if step != last_eval_step:
-            last_val = self.validate()
-            self.logger.log_scalars(last_val, step)
-            self._log_confusions(last_val, step)
-            self._checkpoint(last_val)
-            for callback in self.callbacks:
-                callback(step, last_val)
-        if self.checkpoints is not None:
-            # commit the in-flight async save before reporting completion
-            self.checkpoints.close()
+            # final validation + checkpoint (unless the last step already did it)
+            if step != last_eval_step:
+                last_val = self.validate()
+                self.logger.log_scalars(last_val, step)
+                self._log_confusions(last_val, step)
+                self._checkpoint(last_val)
+                for callback in self.callbacks:
+                    callback(step, last_val)
+        finally:
+            # Always land here — including on exceptions and Ctrl-C — so the
+            # in-flight async checkpoint is finalized + indexed and an open
+            # profiler trace is closed, not torn down mid-write at exit.
+            if profiling:
+                jax.profiler.stop_trace()
+            if self.checkpoints is not None:
+                self.checkpoints.close()
         if self.verbose:
             print(
                 f"Finished {step - start_step} steps in "

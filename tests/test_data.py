@@ -218,7 +218,12 @@ def test_batcher_fixed_caps_tight_on_skewed_data(tmp_path):
 
     path = str(tmp_path / "skew.h5")
     make_synthetic_file(path, num_events=70, mean_hits_per_image=40, seed=2)
-    # graft one giant event image (heavy-tailed skew) onto event 0
+    # Graft one giant event image (heavy-tailed skew) onto event 64 — the
+    # FIRST event of the wrap-padded tail (70 % 16 = 6, tail = events
+    # 64..69), so np.resize duplicates it 3x in the tail batch and the
+    # distinct-events top-b bound alone would under-count: the epoch loop
+    # below only passes if the exact tail duplicate bound is applied.
+    giant_event = 64
     with h5py.File(path, "r+") as f:
         idx = f["event_compressed_index"][:]
         coords = f["event_pixels_coordinates"][:]
@@ -230,12 +235,12 @@ def test_batcher_fixed_caps_tight_on_skewed_data(tmp_path):
         big_coords = np.stack([np.zeros(big, np.int64), bx, by], 1)
         big_values = rng.uniform(1, 255, (big, values.shape[1])).astype(
             values.dtype)
-        lo, hi = idx[0]
-        new_coords = np.concatenate([big_coords, coords[hi:]])
-        new_values = np.concatenate([big_values, values[hi:]])
+        lo, hi = idx[giant_event]
+        new_coords = np.concatenate([coords[:lo], big_coords, coords[hi:]])
+        new_values = np.concatenate([values[:lo], big_values, values[hi:]])
         shift = big - (hi - lo)
-        idx[0] = (0, big)
-        idx[1:] += shift
+        idx[giant_event] = (lo, lo + big)
+        idx[giant_event + 1:] += shift
         del f["event_pixels_coordinates"], f["event_pixels_values"]
         del f["event_compressed_index"]
         f.create_dataset("event_pixels_coordinates", data=new_coords)

@@ -214,6 +214,58 @@ def test_remat_embedder_same_params_and_outputs():
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-5)
 
 
+def test_remat_embedder_coo_family_compiles_and_matches():
+    """remat_embedder with the 'coo' family: nn.remat traces the COO
+    tuple's Python-int num_rows into a tracer, so the stem must recover
+    the static row count from the CSR starts shape (regression: this
+    crashed at first jit with a traced-shape TypeError)."""
+    from dune_transformercvn_tpu.models.network import create_pixel_embedder
+
+    H, W, C, n_img, n_hits = 48, 40, 3, 2, 37
+    rng = np.random.default_rng(1)
+    per = n_hits // n_img
+    xy = jnp.asarray(
+        np.stack([rng.integers(0, H, n_hits), rng.integers(0, W, n_hits)], 1)
+        .astype(np.int32))
+    vals = jnp.asarray(rng.normal(size=(n_hits, C)).astype(np.float32))
+    owner = jnp.asarray(np.minimum(np.arange(n_hits) // per, n_img - 1)
+                        .astype(np.int32))
+    starts = jnp.asarray(
+        np.searchsorted(np.asarray(owner), np.arange(n_img + 1)).astype(np.int32))
+    coo = (xy, vals, owner, n_img, starts)
+    cfg_kw = dict(embedder="coo", image_height=H, image_width=W,
+                  densenet_structure=(1, 1), densenet_growth_rate=4,
+                  densenet_batch_norm_size=2, initial_pixel_dim=8)
+
+    class Host(nn.Module):
+        remat_embedder: bool
+
+        @nn.compact
+        def __call__(self, coo):
+            cfg = ModelConfig(remat_embedder=self.remat_embedder, **cfg_kw)
+            return create_pixel_embedder(cfg, 8, "event_pixel_embedding")(
+                coo, None, False
+            )
+
+    plain, wrapped = Host(False), Host(True)
+    v = jax.jit(plain.init)(jax.random.PRNGKey(0), coo)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        jax.jit(wrapped.init)(jax.random.PRNGKey(0), coo)
+    )
+
+    def loss(net, v):
+        return jnp.sum(net.apply(v, coo, mutable=["batch_stats"])[0])
+
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(lambda v: loss(plain, v))(v)),
+        np.asarray(jax.jit(lambda v: loss(wrapped, v))(v)), rtol=1e-6)
+    g1 = jax.jit(jax.grad(lambda v: loss(plain, v)))(v)
+    g2 = jax.jit(jax.grad(lambda v: loss(wrapped, v)))(v)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-5)
+
+
 def test_encoder_mask_blocks_padded_keys():
     enc = TransformerEncoder(hidden_dim=16, num_heads=4, num_layers=1)
     B, T = 2, 5

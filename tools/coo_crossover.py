@@ -104,7 +104,8 @@ def main():
         )
         dense_t = timed_per_op(lambda: dense_fn(images))
         coo_t = timed_per_op(lambda: coo_fn(xy, vals, owner))
-        if supports_pallas_coo_stem(bucket, C_IN, C_OUT, H, W, 2, 3, 7):
+        pallas_ran = supports_pallas_coo_stem(bucket, C_IN, C_OUT, H, W, 2, 3, 7)
+        if pallas_ran:
             pallas_t = timed_per_op(lambda: pallas_fn(xy, vals, starts))
         else:                      # SMEM prefetch cap: XLA fallback regime
             pallas_t = coo_t
@@ -114,6 +115,9 @@ def main():
             "dense_ms": round(dense_t * 1e3, 4),
             "coo_xla_ms": round(coo_t * 1e3, 4),
             "coo_pallas_ms": round(pallas_t * 1e3, 4),
+            # False = the bucket exceeded the SMEM prefetch budget, the
+            # Pallas kernel never ran, and coo_pallas_ms is the XLA time
+            "pallas_ran": pallas_ran,
             "pallas_vs_xla": round(coo_t / pallas_t, 3),
             "pallas_vs_dense": round(dense_t / pallas_t, 3),
         })

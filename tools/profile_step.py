@@ -101,6 +101,7 @@ def main():
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--events", type=int, default=192)
     parser.add_argument("--top", type=int, default=12)
+    parser.add_argument("--embedder", default="dense")
     args = parser.parse_args()
 
     import numpy as np
@@ -126,7 +127,7 @@ def main():
         REPO, "option_files", "fdhd_beam_2018prod_2023_08_07.json"))
     options.compute_dtype = "bfloat16"
     dataset, _, _, model, norm = _synthetic_setup(
-        options, num_events=args.events, embedder="dense")
+        options, num_events=args.events, embedder=args.embedder)
     norm = {k: jnp.asarray(v) for k, v in norm.items()}
     mesh = create_mesh(1)
     schedule = schedules.from_options(options, steps_per_epoch=100)
