@@ -359,7 +359,13 @@ def coo_stem_conv_pallas(
         xy[:, 1].astype(jnp.int32),
         num_images, n_tiles, _TILE_H, w2pad, out_h, out_w, pack, interpret,
     )
+    # Bias-add + downcast FIRST, on the kernel's packed fp32 output (the
+    # bias tiles across the lane axis: lane = slot * c_out + channel), so
+    # every downstream relayout/pad/slice moves compute-dtype bytes instead
+    # of fp32 — the COO family's profiled formatting cost halves.  Value-
+    # identical to slicing first: reshape/slice do not change elements.
+    bias_lanes = jnp.tile(bias.astype(jnp.float32), pack)
+    packed = (packed + bias_lanes).astype(values.dtype)
     # unpack: [B, H, W2PAD, pack, C_out] -> columns w = group*pack + slot
     grid = packed.reshape(num_images, out_h_pad, w2pad * pack, c_out)
-    grid = grid[:, :out_h, :out_w, :]
-    return (grid + bias.astype(jnp.float32)).astype(values.dtype)
+    return grid[:, :out_h, :out_w, :]

@@ -54,6 +54,7 @@ class Trainer:
         verbose: Optional[bool] = None,
         callbacks=None,
         log_graph: bool = False,
+        log_every_n_steps: int = 50,
     ):
         self.options = options
         # Resolve the embedder family: explicit argument wins, else the
@@ -151,6 +152,12 @@ class Trainer:
         self.num_workers = max(
             1, min(options.num_dataloader_workers, os.cpu_count() or 1)
         )
+        # Scalar-log cadence (Lightning's log_every_n_steps, default 50 —
+        # what the reference trainer runs with).  Each flush costs one
+        # lagged device->host metrics fetch — a full tunnel round trip on
+        # this backend — so logging every 10 steps taxed sustained
+        # throughput ~4%.
+        self.log_every_n_steps = max(1, int(log_every_n_steps))
 
         # ---- model + optimizer ----------------------------------------------
         self.model_config = ModelConfig.from_options(
@@ -526,7 +533,9 @@ class Trainer:
                         profile_dir = None  # capture exactly one trace per run
 
                     flush_pending_log()
-                    if self.logger.enabled and (step % 10 < took or step <= 2):
+                    if self.logger.enabled and (
+                        step % self.log_every_n_steps < took or step <= 2
+                    ):
                         pending_log = (step, metrics)
 
                     if step % eval_interval < took:

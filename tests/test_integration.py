@@ -56,7 +56,9 @@ def train_file(tmp_path_factory):
 def trainer8(train_file, tmp_path_factory):
     o = tiny_train_options(train_file, batch_size=1, num_gpu=8)
     run_dir = str(tmp_path_factory.mktemp("runs") / "t8")
-    return Trainer(o, run_dir=run_dir)
+    # finer-than-default log cadence: the 40-step runs below assert on
+    # intermediate train_loss logs
+    return Trainer(o, run_dir=run_dir, log_every_n_steps=10)
 
 
 def test_training_reduces_loss_and_checkpoints(trainer8):

@@ -80,20 +80,32 @@ def main():
 
     # Parse the loop's own windowed throughput + the AUC curve back out of
     # the run's metrics.jsonl (exactly what TB shows a production user).
-    windows, auc_curve = [], []
+    windows, auc_curve, eval_steps = [], [], set()
     with open(os.path.join(trainer.run_dir, "metrics.jsonl")) as f:
         for line in f:
             rec = json.loads(line)
             if "events_per_second" in rec:
-                windows.append(round(rec["events_per_second"], 2))
+                windows.append(
+                    {"step": rec["step"],
+                     "events_per_second": round(rec["events_per_second"], 2)})
             if "val_epoch_AUC" in rec:
+                eval_steps.add(rec["step"])
                 auc_curve.append(
                     {"step": rec["step"],
                      "val_epoch_AUC": round(rec["val_epoch_AUC"], 4)})
 
-    # Steady state: the median of the second half of the windows (first
-    # windows include jit compiles; validation pauses split windows).
-    tail = sorted(windows[len(windows) // 2:])
+    # Steady state: the median of the CLEAN second-half windows — windows
+    # whose step span contains no validation (a validation+checkpoint pause
+    # lands inside the window that follows it) and that come after the
+    # first-window jit compiles.
+    prev = [0] + [w["step"] for w in windows[:-1]]
+    clean = [
+        w["events_per_second"]
+        for w, p in zip(windows, prev)
+        if not any(p <= e < w["step"] for e in eval_steps)
+    ]
+    tail = sorted(clean[len(clean) // 2:] or
+                  [w["events_per_second"] for w in windows[len(windows) // 2:]])
     steady = tail[len(tail) // 2] if tail else float("nan")
 
     record = {
@@ -111,10 +123,11 @@ def main():
         "final_val_epoch_AUC": round(last.get("val_epoch_AUC", 0.0), 4),
         "val_auc_curve": auc_curve,
         "note": (
-            "windows are the training loop's own 10-step "
-            "events_per_second logs (lagged device-fetch sync); compare "
-            "steady_state against bench.py's compute-only "
-            "train_b16_events_per_second"),
+            "windows are the training loop's own events_per_second logs "
+            "(every log_every_n_steps=50 steps, lagged device-fetch "
+            "sync); steady_state is the median of validation-free "
+            "second-half windows; compare against bench.py's "
+            "compute-only train_b16_events_per_second"),
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
