@@ -238,6 +238,13 @@ class Options:
         # unsynced per-GPU BN under DDP; sync keeps replicated state exact).
         self.sync_batch_norm: bool = True
 
+        # Tensor parallelism: shard parameter channel axes over a second
+        # "model" mesh axis of this size (num_gpu must divide evenly; the
+        # data axis keeps num_gpu / model_parallel shards).  1 = off — the
+        # reference has no model parallelism; this is a TPU-native extension
+        # for configs whose weights/activations outgrow one chip.
+        self.model_parallel: int = 1
+
         # Steps between validation runs / checkpoints (CLI -e overrides).
         self.eval_interval: int = 500
 

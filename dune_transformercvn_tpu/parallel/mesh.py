@@ -1,4 +1,4 @@
-"""Device-mesh construction and sharding specs for data-parallel training.
+"""Device-mesh construction and sharding specs for parallel training.
 
 The reference's only parallelism is DDP over NCCL (train.py:123-127,
 SURVEY §2.3).  The TPU-native equivalent is a 1-D ``jax.sharding.Mesh`` over
@@ -7,6 +7,15 @@ are replicated, and gradient/metric reductions ride the ICI as ``psum``
 collectives emitted by ``shard_map``.  Per-host input sharding replaces the
 DDP DistributedSampler: the Batcher lays out each device's shard contiguously
 (batcher.py), so no resharding collective is ever needed on the input path.
+
+Beyond reference parity, ``model_parallel > 1`` adds a second "model" mesh
+axis for tensor parallelism: the data axis stays *manual* (the shard_map body
+with its tuned per-shard indices and explicit psums is unchanged) while the
+model axis is *auto* — parameters and optimizer moments are laid out with
+their channel axis sharded over "model" (:func:`state_shardings`) and XLA's
+GSPMD pass partitions every matmul/conv and inserts the tensor-parallel
+collectives.  This is the idiomatic TPU hybrid (manual DP + auto TP); the
+reference has no model parallelism to match.
 """
 
 from __future__ import annotations
@@ -18,13 +27,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
-def create_mesh(num_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` devices.
+def create_mesh(
+    num_devices: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    model_parallel: int = 1,
+) -> Mesh:
+    """Device mesh over the first ``num_devices`` devices.
 
     ``num_devices`` mirrors ``Options.num_gpu``; values above the available
     device count are clamped (with a note), 0/None means all devices.
+    ``model_parallel > 1`` returns a 2-D ``(data, model)`` mesh whose data
+    axis spans ``num_devices // model_parallel`` groups of ``model_parallel``
+    adjacent devices (adjacent device ids share the fastest ICI links, where
+    the tensor-parallel collectives live).
     """
     if devices is None:
         devices = jax.devices()
@@ -36,7 +54,53 @@ def create_mesh(num_devices: Optional[int] = None, devices: Optional[Sequence] =
             )
             num_devices = len(devices)
         devices = devices[:num_devices]
+    mp = max(1, int(model_parallel))
+    if mp > 1:
+        if len(devices) % mp:
+            raise ValueError(
+                f"model_parallel={mp} does not divide the {len(devices)}-device mesh"
+            )
+        grid = np.asarray(devices).reshape(len(devices) // mp, mp)
+        return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    """Number of data-parallel shards (mesh size on 1-D meshes)."""
+    return mesh.shape[DATA_AXIS]
+
+
+def is_hybrid(mesh: Mesh) -> bool:
+    """True when the mesh carries a tensor-parallel "model" axis."""
+    return MODEL_AXIS in mesh.axis_names
+
+
+def state_shardings(state, mesh: Mesh, min_shard_dim: int = 8):
+    """Per-leaf NamedShardings for a TrainState on a hybrid mesh.
+
+    Rule: any leaf with >= 2 dims whose last (channel) dimension splits
+    evenly over the model axis into pieces of at least ``min_shard_dim`` is
+    sharded ``P(..., "model")`` — dense kernels ``[in, out]``, conv kernels
+    ``[kh, kw, cin, cout]``, embeddings ``[vocab, dim]``, and the matching
+    AdamW moments (same shapes) all get channel-sharded; 1-D scales/biases/
+    BN statistics and scalars stay replicated.  GSPMD propagates these
+    layouts through the whole step and inserts the TP collectives.
+    """
+    mp = mesh.shape[MODEL_AXIS]
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        if (
+            len(shape) >= 2
+            and shape[-1] % mp == 0
+            and shape[-1] // mp >= min_shard_dim
+        ):
+            spec = [None] * (len(shape) - 1) + [MODEL_AXIS]
+            return NamedSharding(mesh, PartitionSpec(*spec))
+        return replicated
+
+    return jax.tree_util.tree_map(rule, state)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

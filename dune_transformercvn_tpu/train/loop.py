@@ -26,10 +26,13 @@ from ..parallel.mesh import (
     DATA_AXIS,
     batch_sharding,
     create_mesh,
+    data_axis_size,
+    is_hybrid,
     local_batch_rows,
     local_shard_ids,
     replicated_sharding,
     stacked_batch_sharding,
+    state_shardings,
 )
 from ..utils.cache import enable_compile_cache, enable_fast_prng
 from ..utils.rundir import create_run_dir
@@ -79,8 +82,13 @@ class Trainer:
         enable_fast_prng()
 
         # ---- mesh ------------------------------------------------------------
-        self.mesh = create_mesh(options.num_gpu)
-        self.num_shards = self.mesh.devices.size
+        # model_parallel > 1 adds an auto "model" axis (tensor parallelism,
+        # mesh.py); batches shard over the remaining data axis only, so
+        # num_shards (per-shard batch layout, step accounting) is dp.
+        self.mesh = create_mesh(
+            options.num_gpu, model_parallel=options.model_parallel
+        )
+        self.num_shards = data_axis_size(self.mesh)
         self.batch_sharding = batch_sharding(self.mesh)
         self.stacked_sharding = stacked_batch_sharding(self.mesh)
         self.state_sharding = replicated_sharding(self.mesh)
@@ -90,6 +98,13 @@ class Trainer:
         # master guards (train.py:40, SURVEY §2.3).
         self.process_index = jax.process_index()
         self.multi_process = jax.process_count() > 1
+        if self.multi_process and is_hybrid(self.mesh):
+            # Host-local feeding (local_batch_rows) assumes shard s lives
+            # wholly on one process's devices; a TP group spanning hosts
+            # needs per-axis placement this loop does not implement yet.
+            raise NotImplementedError(
+                "model_parallel > 1 is single-process only for now"
+            )
         self._local_shards = local_shard_ids(self.mesh)
 
         # ---- data ------------------------------------------------------------
@@ -185,10 +200,15 @@ class Trainer:
         example = self._device_batch(
             self.train_batcher.build_batch(np.arange(self.global_batch))
         )
-        self.state = jax.device_put(
-            create_train_state(self.model, self.tx, example, self.norm, options.seed),
-            self.state_sharding,
+        self.state = create_train_state(
+            self.model, self.tx, example, self.norm, options.seed
         )
+        if is_hybrid(self.mesh):
+            # Tensor parallelism: channel-shard params + optimizer moments
+            # over the model axis; GSPMD propagates the layout through the
+            # step and inserts the TP collectives.
+            self.state_sharding = state_shardings(self.state, self.mesh)
+        self.state = jax.device_put(self.state, self.state_sharding)
         if self.verbose:
             from ..utils.summary import summarize_params
 

@@ -32,7 +32,7 @@ from ..ops.losses import (
     softmax_focal_loss,
     split_event_targets,
 )
-from ..parallel.mesh import DATA_AXIS
+from ..parallel.mesh import DATA_AXIS, is_hybrid
 from .metrics import init_metric_state, update_metric_state
 from .state import TrainState
 
@@ -155,7 +155,13 @@ def make_train_step(model, tx, options, mesh, steps_per_dispatch: int = 1):
     gamma = options.loss_gamma
     event_scale = options.event_prong_loss_proportion
     loss_kwargs = _loss_kwargs(options, model)
-    single = mesh.devices.size == 1
+    hybrid = is_hybrid(mesh)
+    dp = mesh.shape[DATA_AXIS]
+    # "single": no data sharding — either a 1-device mesh or a pure-TP
+    # hybrid mesh (dp == 1).  Both compile the plain function: identity
+    # collectives are not free on this backend, and on a pure-TP mesh the
+    # sharded *state placement* alone drives GSPMD's tensor partitioning.
+    single = dp == 1
     # BN stats are already mesh-invariant only when the model psums them
     # itself (sync-BN on a >1-device mesh); otherwise reduce here so the
     # replicated state stays consistent (and the shard_map vma check holds).
@@ -184,17 +190,39 @@ def make_train_step(model, tx, options, mesh, steps_per_dispatch: int = 1):
         )
         return total, (updates["batch_stats"], metrics)
 
+    # Cross-shard gradient reduction (manual DP and hybrid alike):
+    # explicitly ``pvary`` the replicated params before differentiating, so
+    # the reduction is pinned by construction — pvary's transpose is a psum
+    # over the manual data axis, and with the per-shard loss scaled by 1/dp
+    # that psum IS the DDP global-mean gradient.  Under jax's vma typing an
+    # explicit ``pmean(grads)`` is NOT equivalent: the cotangent of a
+    # replicated (P()) input is implicitly psummed and typed invariant, so
+    # a subsequent pmean is an identity on the dp-times-too-large value —
+    # grads came out scaled by dp (caught while validating the hybrid TP
+    # path; masked in training by AdamW's scale invariance, but it skewed
+    # grad_norm and global-norm clipping; pinned by
+    # tests/test_tensor_parallel.py and the dp8-vs-dp1 grad_norm check).
+    reduce_grads = not single
+
+    def scaled_loss_fn(params, state, batch, rngs):
+        if reduce_grads:
+            params = jax.tree_util.tree_map(
+                lambda t: jax.lax.pvary(t, (DATA_AXIS,)), params
+            )
+            total, aux = loss_fn(params, state, batch, rngs)
+            return total / dp, aux
+        return loss_fn(params, state, batch, rngs)
+
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         rng = jax.random.fold_in(state.base_rng, state.step)
         rng = jax.random.fold_in(rng, device_index())
         noise_rng, dropout_rng = jax.random.split(rng)
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        grad_fn = jax.value_and_grad(scaled_loss_fn, has_aux=True)
         (_, (batch_stats, metrics)), grads = grad_fn(
             state.params, state, batch, {"noise": noise_rng, "dropout": dropout_rng}
         )
 
-        grads = pmean(grads)
         metrics = pmean(metrics)
         grad_norm = optax.global_norm(grads)
         if stats_need_reduce:
@@ -233,6 +261,9 @@ def make_train_step(model, tx, options, mesh, steps_per_dispatch: int = 1):
         mesh=mesh,
         in_specs=(P(), batch_spec),
         out_specs=(P(), P()),
+        # Hybrid: only the data axis is manual; GSPMD partitions the body
+        # over the auto "model" axis from the state's sharded placement.
+        **({"axis_names": {DATA_AXIS}} if hybrid else {}),
     )
     return jax.jit(sharded, donate_argnums=(0,))
 
@@ -248,7 +279,8 @@ def make_eval_step(model, options, mesh):
     event_scale = options.event_prong_loss_proportion
     loss_kwargs = _loss_kwargs(options, model)
     num_generation = loss_kwargs["num_generation_classes"]
-    single = mesh.devices.size == 1
+    hybrid = is_hybrid(mesh)
+    single = mesh.shape[DATA_AXIS] == 1
 
     def step_fn(state: TrainState, batch, totals):
         event_logits, prong_logits = model.apply(
@@ -280,7 +312,8 @@ def make_eval_step(model, options, mesh):
     if single:
         return jax.jit(step_fn, donate_argnums=(2,))
     sharded = jax.shard_map(
-        step_fn, mesh=mesh, in_specs=(P(), P(DATA_AXIS), P()), out_specs=P()
+        step_fn, mesh=mesh, in_specs=(P(), P(DATA_AXIS), P()), out_specs=P(),
+        **({"axis_names": {DATA_AXIS}} if hybrid else {}),
     )
     return jax.jit(sharded, donate_argnums=(2,))
 
@@ -306,9 +339,10 @@ def make_predict_step(model, mesh):
             jax.nn.softmax(prong_logits, axis=-1),
         )
 
-    if mesh.devices.size == 1:
+    if mesh.shape[DATA_AXIS] == 1:
         return jax.jit(step_fn)
     sharded = jax.shard_map(
-        step_fn, mesh=mesh, in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS)
+        step_fn, mesh=mesh, in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS),
+        **({"axis_names": {DATA_AXIS}} if is_hybrid(mesh) else {}),
     )
     return jax.jit(sharded)

@@ -171,6 +171,12 @@ def test_dp8_equals_dp1(train_file, tmp_path_factory):
     np.testing.assert_allclose(
         float(m8["event_loss"]), float(m1["event_loss"]), rtol=1e-3
     )
+    # grad_norm must match too: this catches gradient SCALE errors that the
+    # param comparison below cannot (AdamW's update is nearly invariant to
+    # a constant grad scaling, which masked a dp-times-too-large reduction)
+    np.testing.assert_allclose(
+        float(m8["grad_norm"]), float(m1["grad_norm"]), rtol=1e-3
+    )
     p8 = jax.tree_util.tree_leaves(jax.device_get(s8.params))
     p1 = jax.tree_util.tree_leaves(jax.device_get(s1.params))
     for x, y in zip(p8, p1):

@@ -39,6 +39,7 @@ def main(
     sdxl: bool,
     max_steps: Optional[int] = None,
     steps_per_dispatch: Optional[int] = None,
+    model_parallel: Optional[int] = None,
     embedder: Optional[str] = None,
     profile: bool = False,
     debug_nans: bool = False,
@@ -73,6 +74,8 @@ def main(
         options.batch_size = batch_size
     if steps_per_dispatch is not None:
         options.steps_per_dispatch = steps_per_dispatch
+    if model_parallel is not None:
+        options.model_parallel = model_parallel
     if threads is not None:
         os.environ["OMP_NUM_THREADS"] = str(threads)
     if fp16:
@@ -188,6 +191,10 @@ if __name__ == "__main__":
                         help="Train K steps per device dispatch (lax.scan "
                              "over K stacked batches; implies static batch "
                              "shapes).")
+    parser.add_argument("--model_parallel", type=int, default=None,
+                        help="Tensor-parallel group size (shards parameter "
+                             "channel axes over a second mesh axis; must "
+                             "divide --gpus).")
     parser.add_argument("--profile", action="store_true",
                         help="Capture a jax.profiler device trace of steps 11-15.")
     parser.add_argument("--debug_nans", action="store_true",
