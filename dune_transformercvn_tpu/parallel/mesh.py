@@ -55,6 +55,14 @@ def create_mesh(
             num_devices = len(devices)
         devices = devices[:num_devices]
     mp = max(1, int(model_parallel))
+    if mp > len(devices):
+        # e.g. evaluating a TP-trained run's options.json on one device:
+        # checkpoints are layout-independent, so fall back to no TP.
+        print(
+            f"model_parallel={mp} exceeds the {len(devices)} available "
+            f"device(s); running without tensor parallelism."
+        )
+        mp = 1
     if mp > 1:
         if len(devices) % mp:
             raise ValueError(

@@ -91,7 +91,9 @@ class Trainer:
         self.num_shards = data_axis_size(self.mesh)
         self.batch_sharding = batch_sharding(self.mesh)
         self.stacked_sharding = stacked_batch_sharding(self.mesh)
-        self.state_sharding = replicated_sharding(self.mesh)
+        self.replicated_sharding = replicated_sharding(self.mesh)
+        # state_sharding becomes a per-leaf tree on a hybrid mesh (see below)
+        self.state_sharding = self.replicated_sharding
         # Multi-host: every host assembles the identical (deterministic)
         # global batch and feeds only its own shards; process 0 owns IO —
         # the TPU equivalents of the DDP per-rank sampler and NODE_RANK
@@ -353,7 +355,7 @@ class Trainer:
                 self.training_dataset.num_prong_classes,
                 self.options.auc_bins,
             ),
-            self.state_sharding,
+            self.replicated_sharding,
         )
         for batch in self._device_prefetch(
             self.val_batcher.prefetch_epoch(0, num_workers=self.num_workers)

@@ -185,6 +185,80 @@ def test_hybrid_predict_matches(trainers):
     )
 
 
+def test_hybrid_fit_checkpoint_resume(train_file, tmp_path_factory):
+    """Trainer.fit on the hybrid mesh end-to-end: training loop, validation,
+    checkpointing of the TP-sharded state (device_get gathers it), and a
+    resume that re-places the restored pytree with the sharded layout."""
+    import os
+
+    run_dir = str(tmp_path_factory.mktemp("runs") / "tp")
+    o = _tiny_options(train_file, num_gpu=8, model_parallel=2)
+    t = Trainer(o, run_dir=run_dir)
+    result = t.fit(max_steps=4, eval_interval=4)
+    assert np.isfinite(result["val_loss"])
+    assert t.checkpoints.latest_step() == 4
+
+    t2 = Trainer(
+        _tiny_options(train_file, num_gpu=8, model_parallel=2), run_dir=run_dir
+    )
+    t2.resume()
+    assert int(t2.state.step) == 4
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(t.state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(t2.state.params)),
+    ):
+        np.testing.assert_array_equal(a, b)
+    # restored leaves carry the TP sharding again
+    specs = [
+        getattr(leaf.sharding, "spec", None)
+        for leaf in jax.tree_util.tree_leaves(t2.state.params)
+    ]
+    assert any(MODEL_AXIS in (s or ()) for s in specs)
+
+
+def test_model_parallel_clamps_to_available_devices(train_file):
+    """Evaluating a TP-trained run's options.json on fewer devices than the
+    TP group falls back to no TP (checkpoints are layout-independent)."""
+    from dune_transformercvn_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(1, model_parallel=16)
+    assert mesh.axis_names == ("data",) and mesh.devices.size == 1
+    with pytest.raises(ValueError):
+        create_mesh(8, model_parallel=3)   # non-divisible is a config error
+
+
+def test_hybrid_scan_dispatch_matches_single_steps(train_file):
+    """steps_per_dispatch > 1 on the hybrid mesh: one scan dispatch of K=2
+    stacked batches equals 2 single hybrid steps (the TP-sharded state
+    threads through the lax.scan carry)."""
+    o1 = _tiny_options(train_file, num_gpu=8, model_parallel=2)
+    o2 = _tiny_options(
+        train_file, num_gpu=8, model_parallel=2, steps_per_dispatch=2
+    )
+    t1 = Trainer(o1, debug=True)
+    t2 = Trainer(o2, debug=True)
+
+    b_a = t2.train_batcher.build_batch(np.arange(8))
+    b_b = t2.train_batcher.build_batch(np.arange(8) + 8)
+
+    s1 = jax.device_put(jax.device_get(t1.state), t1.state_sharding)
+    s1, m_a = t1.train_step(s1, t1._device_batch(b_a))
+    s1, m_b = t1.train_step(s1, t1._device_batch(b_b))
+
+    s2 = jax.device_put(jax.device_get(t2.state), t2.state_sharding)
+    s2, m_k = t2.train_step(s2, t2._device_stacked([b_a, b_b]))
+
+    np.testing.assert_allclose(
+        np.asarray(m_k["train_loss"]),
+        [float(m_a["train_loss"]), float(m_b["train_loss"])], rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+        jax.tree_util.tree_leaves(jax.device_get(s2.params)),
+    ):
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+
 def test_state_shardings_rule_shapes():
     """The shape-based rule: channel axes shard, small/1-D leaves replicate."""
     devs = np.asarray(jax.devices()).reshape(4, 2)
