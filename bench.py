@@ -183,12 +183,39 @@ def train_bench(options, batch_sizes=(16, 64), scan_steps=8):
     yield (label, eps, step_time, single_flops.get(largest))
 
 
+def _probe_device(timeout_s: float = 180.0) -> None:
+    """Fail fast (non-zero exit) if the device is unreachable.
+
+    The axon tunnel can hang indefinitely on a downed device — inside jax
+    C++ calls, where no Python signal fires — so probe from a subprocess
+    with a hard timeout instead of letting the whole bench wedge.
+    """
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((256, 256), jnp.bfloat16)\n"
+        "print('ok', float(jax.device_get((x @ x)[0, 0])))\n"
+    )
+    try:
+        subprocess.run(
+            [sys.executable, "-c", code], check=True, timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(f"bench: device probe failed ({e!r}); refusing to hang",
+              file=sys.stderr)
+        raise SystemExit(3)
+
+
 def main():
     import jax
 
     from dune_transformercvn_tpu.utils.cache import (
         enable_compile_cache, enable_fast_prng,
     )
+
+    _probe_device()
 
     enable_compile_cache()
     enable_fast_prng()

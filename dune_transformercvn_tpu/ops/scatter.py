@@ -38,8 +38,15 @@ def densify_images(
             return densify_images_pallas(
                 xy, values, starts, num_images, height, width
             )
+    # ``mode="drop"`` only drops indices that are out of range AFTER numpy's
+    # negative-index wrap; push negative coordinates past the bounds so they
+    # are genuinely dropped (matching the Pallas kernel and the COO path).
+    oob = jnp.int32(max(num_images, height, width))
+    owner, x, y = (
+        jnp.where(idx < 0, oob, idx) for idx in (owner, xy[:, 0], xy[:, 1])
+    )
     images = jnp.zeros((num_images, height, width, values.shape[-1]), values.dtype)
-    return images.at[owner, xy[:, 0], xy[:, 1]].add(
+    return images.at[owner, x, y].add(
         values, mode="drop", unique_indices=False, indices_are_sorted=False
     )
 

@@ -60,10 +60,16 @@ def from_coo(
     num_images: int, height: int, width: int,
 ) -> SparseGrid:
     """Build a SparseGrid from padded COO banks (drop-mode padding)."""
+    # push negative indices past the bounds: ``mode="drop"`` alone would
+    # numpy-wrap them to valid pixels instead of dropping (see ops/scatter.py)
+    oob = jnp.int32(max(num_images, height, width))
+    owner, x, y = (
+        jnp.where(idx < 0, oob, idx) for idx in (owner, xy[:, 0], xy[:, 1])
+    )
     features = jnp.zeros((num_images, height, width, values.shape[-1]), values.dtype)
-    features = features.at[owner, xy[:, 0], xy[:, 1]].add(values, mode="drop")
+    features = features.at[owner, x, y].add(values, mode="drop")
     occupancy = jnp.zeros((num_images, height, width), bool)
-    occupancy = occupancy.at[owner, xy[:, 0], xy[:, 1]].set(True, mode="drop")
+    occupancy = occupancy.at[owner, x, y].set(True, mode="drop")
     return SparseGrid(features, occupancy)
 
 

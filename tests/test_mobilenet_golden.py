@@ -52,20 +52,15 @@ def _import_reference_module():
     return MaskedProngMobileNetEmbedding
 
 
-def t2n(t):
-    return t.detach().numpy().copy()
-
-
-def conv_w(sd, key):  # torch OIHW -> flax HWIO (depthwise: O,1,kh,kw -> kh,kw,1,O)
-    return t2n(sd[key]).transpose(2, 3, 1, 0)
+from test_reference_parity import (  # noqa: E402  (same-dir test helpers)
+    conv_w,  # torch OIHW -> flax HWIO (depthwise: O,1,kh,kw -> kh,kw,1,O)
+    set_bn,
+    t2n,
+)
 
 
 def _set_bn(block, sd, prefix):
-    block_params, block_stats = block
-    block_params["scale"] = t2n(sd[f"{prefix}.weight"])
-    block_params["bias"] = t2n(sd[f"{prefix}.bias"])
-    block_stats["mean"] = t2n(sd[f"{prefix}.running_mean"])
-    block_stats["var"] = t2n(sd[f"{prefix}.running_var"])
+    set_bn(block[0], block[1], sd, prefix)
 
 
 def _map_conv_block(params, stats, sd, prefix):

@@ -165,6 +165,9 @@ def test_pallas_densify_matches_xla_scatter():
     xy[1] = xy[0]                            # duplicate pixel -> accumulate
     xy[2] = (H + 4, 2)                       # out-of-range x -> dropped
     xy[3] = (3, W + 5)                       # out-of-range y -> dropped
+    xy[5] = (-2, 4)                          # negative x -> dropped
+    xy[6] = (7, -1)                          # negative y -> dropped
+    xy[7] = (H - 1, W - 1)                   # far corner -> kept
     R = 16                                   # bank with padding rows at the end
     xy_full = np.concatenate([xy, np.zeros((R - n, 2), np.int32)])
     owner_full = np.concatenate([owner, np.full(R - n, N, np.int32)])

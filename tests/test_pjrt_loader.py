@@ -30,9 +30,31 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NATIVE = os.path.join(REPO, "native")
 AXON_PLUGIN = "/opt/axon/libaxon_pjrt.so"
 
+def _tunnel_alive(timeout_s: float = 120.0) -> bool:
+    """The plugin file existing does not mean the tunnel is up — outages
+    hang inside C++ calls where no Python signal fires, so probe the
+    device from a subprocess with a hard timeout."""
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((8, 8), jnp.float32)\n"
+        "print(float(jax.device_get((x @ x)[0, 0])))\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="axon")
+    try:
+        subprocess.run(
+            [sys.executable, "-c", code], check=True, timeout=timeout_s,
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(AXON_PLUGIN),
-    reason="no PJRT plugin on this host (TPU tunnel absent)",
+    not os.path.exists(AXON_PLUGIN) or not _tunnel_alive(),
+    reason="no live PJRT plugin on this host (TPU tunnel absent or down)",
 )
 
 # PJRT_Buffer_Type enum (pjrt_c_api.h): INVALID=0, PRED=1, S8..S64=2..5,

@@ -45,19 +45,11 @@ def _import_reference_stack():
     return ResNetStack
 
 
-def t2n(t):
-    return t.detach().numpy().copy()
-
-
-def conv_w(sd, key):  # torch OIHW -> flax HWIO
-    return t2n(sd[key]).transpose(2, 3, 1, 0)
-
-
-def _set_bn(params, stats, sd, prefix):
-    params["scale"] = t2n(sd[f"{prefix}.weight"])
-    params["bias"] = t2n(sd[f"{prefix}.bias"])
-    stats["mean"] = t2n(sd[f"{prefix}.running_mean"])
-    stats["var"] = t2n(sd[f"{prefix}.running_var"])
+from test_reference_parity import (  # noqa: E402  (same-dir test helpers)
+    conv_w,
+    set_bn as _set_bn,
+    t2n,
+)
 
 
 def transplant(ref, params, stats):

@@ -49,6 +49,12 @@ def sh(cmd, **kw):
     subprocess.run(cmd, check=True, **kw)
 
 
+def version_key(name):
+    # version_10 must sort after version_9 (lexical order breaks at 10+)
+    tail = name.rsplit("_", 1)[-1]
+    return (int(tail), name) if tail.isdigit() else (-1, name)
+
+
 def train_ours(args):
     run_root = os.path.join(args.workdir, "ours")
     if not os.path.isdir(run_root):
@@ -58,11 +64,6 @@ def train_ours(args):
             "--max_steps", str(args.steps), "-v",
             "--training_file", args.data,
         ])
-    def version_key(name):
-        # version_10 must sort after version_9 (lexical order breaks at 10+)
-        tail = name.rsplit("_", 1)[-1]
-        return (int(tail), name) if tail.isdigit() else (-1, name)
-
     versions = sorted(
         os.listdir(os.path.join(run_root, "parity")), key=version_key
     )
@@ -98,10 +99,6 @@ def train_reference(args):
         ], cwd=args.reference, env=env)
     # newest version dir's newest checkpoint (numeric/mtime, not lexical:
     # version_10 sorts before version_9 lexically)
-    def version_key(name):
-        tail = name.rsplit("_", 1)[-1]
-        return (int(tail), name) if tail.isdigit() else (-1, name)
-
     base = os.path.join(log_dir, "parity")
     version = sorted(os.listdir(base), key=version_key)[-1]
     ckpts = os.path.join(base, version, "checkpoints")

@@ -145,7 +145,8 @@ def main():
         step = make_train_step(
             model, tx, options, mesh, steps_per_dispatch=1,
         ).lower(state0, batch).compile()
-        state, warm = step(state0, batch)
+        # the step donates its state argument; keep state0 alive across sizes
+        state, warm = step(jax.tree_util.tree_map(jnp.copy, state0), batch)
         _fetch_scalar(warm["train_loss"])
 
         tracedir = f"/tmp/prof_b{bsz}"
