@@ -194,6 +194,7 @@ def _probe_device(timeout_s: float = 180.0) -> None:
 
     code = (
         "import jax, jax.numpy as jnp\n"
+        "assert jax.default_backend() == 'tpu', jax.default_backend()\n"
         "x = jnp.ones((256, 256), jnp.bfloat16)\n"
         "print('ok', float(jax.device_get((x @ x)[0, 0])))\n"
     )

@@ -254,7 +254,7 @@ def _scatter_patches(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(num_images, n_tiles),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (1, tile_h, w2pad, 128),
                 lambda i, t, *_: (i, t, 0, 0),
