@@ -191,8 +191,9 @@ def make_train_step(model, tx, options, mesh, steps_per_dispatch: int = 1):
         return total, (updates["batch_stats"], metrics)
 
     # Cross-shard gradient reduction (manual DP and hybrid alike):
-    # explicitly ``pvary`` the replicated params before differentiating, so
-    # the reduction is pinned by construction — pvary's transpose is a psum
+    # explicitly cast the replicated params to varying before differentiating
+    # (``pcast(..., to="varying")``, formerly ``pvary``), so the reduction is
+    # pinned by construction — the varying-cast's transpose is a psum
     # over the manual data axis, and with the per-shard loss scaled by 1/dp
     # that psum IS the DDP global-mean gradient.  Under jax's vma typing an
     # explicit ``pmean(grads)`` is NOT equivalent: the cotangent of a
@@ -207,7 +208,7 @@ def make_train_step(model, tx, options, mesh, steps_per_dispatch: int = 1):
     def scaled_loss_fn(params, state, batch, rngs):
         if reduce_grads:
             params = jax.tree_util.tree_map(
-                lambda t: jax.lax.pvary(t, (DATA_AXIS,)), params
+                lambda t: jax.lax.pcast(t, (DATA_AXIS,), to="varying"), params
             )
             total, aux = loss_fn(params, state, batch, rngs)
             return total / dp, aux

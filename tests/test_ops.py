@@ -151,13 +151,17 @@ def test_class_balanced_loss_runs():
         assert np.isfinite(float(val))
 
 
-def test_pallas_densify_matches_xla_scatter():
+@pytest.mark.parametrize("C", [1, 3, 8])
+def test_pallas_densify_matches_xla_scatter(C):
     """The Pallas densify kernel (interpret mode on CPU) == the XLA scatter
-    on an owner-sorted bank with duplicates and tail padding."""
+    on an owner-sorted bank with duplicates and tail padding.  Parametrized
+    over channel counts: the kernel's lane axis encodes (w, c) = (l // C,
+    l % C), so the one-hot algebra differs per C (C=1 exercises the
+    degenerate lane==y case, C=8 the supports_pallas_densify cap)."""
     from dune_transformercvn_tpu.ops.pallas_densify import densify_images_pallas
 
     rng = np.random.default_rng(3)
-    N, H, W, C = 3, 16, 11, 3
+    N, H, W = 3, 16, 11
     counts = [5, 0, 7]                       # image 1 empty
     owner = np.repeat(np.arange(N), counts).astype(np.int32)
     n = owner.size

@@ -25,14 +25,15 @@ from dune_transformercvn_tpu.parallel.mesh import MODEL_AXIS, state_shardings
 from dune_transformercvn_tpu.train import Trainer
 
 
-def test_pvary_grad_reduction_semantics():
+def test_varying_cast_grad_reduction_semantics():
     """Pin the jax behavior the step builder depends on (manual DP and
-    hybrid alike): pvary'ing a replicated (P()) input before
-    differentiating makes the cross-shard reduction explicit — pvary's
+    hybrid alike): casting a replicated (P()) input to varying
+    (``pcast(..., to="varying")``, formerly ``pvary``) before
+    differentiating makes the cross-shard reduction explicit — the cast's
     transpose is a psum over the manual axis, so grad of (local loss / dp)
     is exactly the DDP global-mean gradient.  Also pin the trap the old
-    code fell into: WITHOUT pvary, the cotangent of a replicated input is
-    implicitly psummed and typed invariant, so an explicit pmean is an
+    code fell into: WITHOUT the cast, the cotangent of a replicated input
+    is implicitly psummed and typed invariant, so an explicit pmean is an
     identity on the dp-times-too-large value."""
     devs = np.asarray(jax.devices()).reshape(4, 2)
     mesh = Mesh(devs, ("data", "model"))
@@ -46,7 +47,7 @@ def test_pvary_grad_reduction_semantics():
     def body(W, xb):
         dp = jax.lax.axis_size("data")
         return jax.grad(
-            lambda w: loss(jax.lax.pvary(w, ("data",)), xb) / dp
+            lambda w: loss(jax.lax.pcast(w, ("data",), to="varying"), xb) / dp
         )(W)
 
     def naive_body(W, xb):
