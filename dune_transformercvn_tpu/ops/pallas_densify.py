@@ -6,22 +6,26 @@ for a [128,400,280,3] build from 8192 hits — ~6% of the production train
 step).  This kernel exploits what the batcher already guarantees — hits
 sorted by owner image with padding at the end (``data/batcher.py::pack_coo``)
 — to give each grid program ONE image as a VMEM-resident block: its hits
-become cheap VMEM vector read-modify-writes (a one-hot [C, 8, W] window per
+become cheap VMEM vector read-modify-writes (a one-hot [8, W*C] window per
 hit, 8-sublane-aligned for Mosaic), and the finished image is DMA'd out
 once.  Measured on the v5e: 0.55 ms for the same build — 8.4x faster than
-the XLA scatter.
+the XLA scatter (as the earlier NCHW variant; see layout note).
 
 Indices and values ride in SMEM via scalar prefetch (1-D arrays only: SMEM
 operands are lane-padded to 128, so a [R, 2] layout would inflate 64x).
 
-The kernel produces NCHW (image-per-program blocks need the lane dimension
-on W, and C=3 lanes would pad 43x); the public wrapper transposes back to
-NHWC — a fused relayout copy, far cheaper than the scatter it replaces.
+Layout: the block is ``[1, H, W*C]`` — H on sublanes, the flattened (w, c)
+pair on lanes — so the public wrapper's ``reshape`` to NHWC ``[N, H, W, C]``
+is free (row-major identity), no relayout copy.  A direct ``[1, H, W, C]``
+block would put C=3 on the lane axis (43x pad); the earlier NCHW variant
+(W on lanes, C on a leading block dim) padded 280→384 lanes (37%) and needed
+a transpose back to NHWC, where W*C=840 pads to 896 (6.7%) and needs none.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +38,8 @@ _SMEM_BUDGET_BYTES = 800_000
 
 def supports_pallas_densify(num_hits: int, num_channels: int, height: int) -> bool:
     """Static guard: TPU backend, 8-aligned sublane windows, SMEM fit."""
+    if os.environ.get("DUNE_TCVN_NO_PALLAS_DENSIFY"):
+        return False   # escape hatch: force the XLA scatter fallback
     smem = 4 * num_hits * (2 + num_channels)   # x, y, and C value columns (f32)
     return (
         jax.default_backend() == "tpu"
@@ -50,7 +56,8 @@ def _kernel(num_channels, width, starts_ref, x_ref, y_ref, *rest):
     o_ref[:] = jnp.zeros_like(o_ref)
     start = starts_ref[i]
     end = starts_ref[i + 1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, width), 2)
+    # lane l encodes (w, c) = (l // C, l % C); one iota per channel offset
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, width * num_channels), 2)
     row8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
 
     def body(j, carry):
@@ -61,15 +68,17 @@ def _kernel(num_channels, width, starts_ref, x_ref, y_ref, *rest):
         # clipping xb itself defeats the alignment proof).  The row match
         # uses the ORIGINAL x: out-of-range x lands outside 0..7 relative
         # to the in-bounds window and selects nothing — exactly the XLA
-        # scatter's drop-mode semantics (OOB y likewise matches no column).
+        # scatter's drop-mode semantics (OOB y likewise matches no lane).
         xb = pl.multiple_of(
-            (jnp.clip(x, 0, o_ref.shape[2] - 1) // 8) * 8, 8
+            (jnp.clip(x, 0, o_ref.shape[1] - 1) // 8) * 8, 8
         )
-        sel = ((row8 == (x - xb)) & (col == y)).astype(jnp.float32)
-        delta = jnp.concatenate(
-            [sel * vref[j] for vref in vrefs], axis=0
-        ).astype(o_ref.dtype)
-        o_ref[0, :, pl.ds(xb, 8), :] += delta
+        row_sel = (row8 == (x - xb)).astype(jnp.float32)
+        base = y * num_channels
+        delta = row_sel * sum(
+            (lane == base + c).astype(jnp.float32) * vrefs[c][j]
+            for c in range(num_channels)
+        )
+        o_ref[0, pl.ds(xb, 8), :] += delta[0].astype(o_ref.dtype)
         return carry
 
     jax.lax.fori_loop(start, end, body, 0, unroll=False)
@@ -101,17 +110,17 @@ def densify_images_pallas(
         grid=(num_images,),
         in_specs=[],
         out_specs=pl.BlockSpec(
-            (1, channels, height, width),
-            lambda i, *_: (i, 0, 0, 0),
+            (1, height, width * channels),
+            lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
-    nchw = pl.pallas_call(
+    flat = pl.pallas_call(
         functools.partial(_kernel, channels, width),
         out_shape=jax.ShapeDtypeStruct(
-            (num_images, channels, height, width), values.dtype
+            (num_images, height, width * channels), values.dtype
         ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts.astype(jnp.int32), xy[:, 0], xy[:, 1], *columns)
-    return jnp.transpose(nchw, (0, 2, 3, 1))
+    return flat.reshape(num_images, height, width, channels)
