@@ -284,8 +284,15 @@ class Batcher:
 
         def prong_owner_local(s, coords, owner_g):
             local_event = owner_g % b
-            # packed slot = slot_start[event] + prong index within event
-            return slot_start[s, local_event] + coords[:, 0]
+            # packed slot = slot_start[event] + prong index within event.
+            # A hit whose prong index falls outside [0, real prong count)
+            # must NOT spill into a neighboring event's slot range (the
+            # slot arithmetic alone would land it there for every event
+            # but the shard's last): mark it OOB so it is dropped.
+            p = coords[:, 0]
+            slot = slot_start[s, local_event] + p
+            in_event = (p >= 0) & (p < counts[s, local_event])
+            return np.where(in_event, slot, prong_cap)
 
         pr_xy, pr_v, pr_o, pr_starts = pack_coo(
             raw["prong_coords"], raw["prong_values"], pr_owner_g, pr_shard, pr_cap,
@@ -369,26 +376,48 @@ class Batcher:
 
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         sentinel = object()
+        stop = threading.Event()  # set when the consumer abandons mid-epoch
         err: List[BaseException] = []
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in self.epoch(epoch, start_batch):
-                    q.put(item)
+                    if not put(item):
+                        return  # consumer gone: drop the batch, exit cleanly
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # GeneratorExit path (e.g. fit stopping at max_steps): unblock
+            # the worker and release the queued batches instead of pinning
+            # depth+1 assembled global batches for the rest of the process.
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
     def _pool_epoch(self, epoch: int, depth: int, num_workers: int,
                     start_batch: int = 0):

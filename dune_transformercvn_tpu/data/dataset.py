@@ -61,6 +61,12 @@ class EventDataset:
         total_events = file["features"].shape[0]
 
         indices = self._compute_limit_index(limit_index, total_events)
+        if indices.size == 0:
+            raise ValueError(
+                f"limit_index {limit_index!r} selects no events out of "
+                f"{total_events} in {data_file} — adjust the split fractions "
+                "(e.g. train_validation_split)"
+            )
         self.min_limit = int(indices.min())
         self.max_limit = int(indices.max())
         lo, hi = self.min_limit, self.max_limit
@@ -263,5 +269,26 @@ def create_datasets(options) -> Tuple[EventDataset, EventDataset, Optional[Event
     testing = None
     if len(options.testing_file) > 0:
         testing = EventDataset(options.testing_file, **kwargs)
+
+    # Class counts are derived from each split's own target max — a
+    # reference quirk preserved deliberately (minkowski_dataset.py:174-175).
+    # If a class never appears in the training split, the model head is too
+    # narrow and eval targets get clipped into the last class: warn loudly
+    # instead of corrupting metrics silently.
+    import warnings
+
+    for name, other in (("validation", validation), ("testing", testing)):
+        if other is None:
+            continue
+        for attr in ("num_event_classes", "num_prong_classes"):
+            if getattr(other, attr) > getattr(training, attr):
+                warnings.warn(
+                    f"{name} split has {attr}={getattr(other, attr)} > "
+                    f"training's {getattr(training, attr)}: targets beyond "
+                    "the training range will be clipped in losses/metrics "
+                    "(class absent from the training split — enlarge the "
+                    "split or the dataset)",
+                    stacklevel=2,
+                )
 
     return training, validation, testing

@@ -339,6 +339,11 @@ class Trainer:
         if checkpoint_path is not None:
             restored = restore_from_path(checkpoint_path, template)
         else:
+            if self.checkpoints is None:
+                raise FileNotFoundError(
+                    "resume() without a checkpoint_path needs a run_dir-backed "
+                    "trainer (this one has no CheckpointManager)"
+                )
             restored = self.checkpoints.restore(template)
         self.state = jax.device_put(restored, self.state_sharding)
         if self.verbose:
@@ -503,6 +508,11 @@ class Trainer:
                 k: float(np.asarray(v).reshape(-1)[-1])
                 for k, v in jax.device_get(device_metrics).items()
             }
+            # schedule(log_step) is the lr the NEXT update will apply (the
+            # update that produced log_step used optax count log_step-1) —
+            # matching Lightning's LearningRateMonitor, which logs the
+            # post-scheduler-step param-group lr: both series are
+            # {(k, schedule(k))}, so TB curves coincide pointwise.
             lr = float(options.learning_rate) * float(self.schedule(log_step))
             host["lr-AdamW/pg1"] = lr
             elapsed = time.time() - window_start
@@ -547,7 +557,10 @@ class Trainer:
                     step += took
                     window_events += self.global_batch * took
                     if profiling and step - start_step >= 15:
-                        jax.block_until_ready(self.state.params)
+                        # device->host fetch, NOT block_until_ready: the
+                        # latter returns early on the tunneled backend and
+                        # would stop the trace mid-step (see CLAUDE.md)
+                        jax.device_get(self.state.step)
                         jax.profiler.stop_trace()
                         profiling = False
                         if self.verbose:
@@ -580,6 +593,7 @@ class Trainer:
                     break
 
             if profiling:  # trace still open (run shorter than 15 steps)
+                jax.device_get(self.state.step)  # sound completion barrier
                 jax.profiler.stop_trace()
                 profiling = False
             flush_pending_log()

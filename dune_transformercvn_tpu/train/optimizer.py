@@ -52,7 +52,9 @@ _OPTIMIZERS = {
         optax.add_decayed_weights(wd, mask=mask), optax.adagrad(lr)
     ),
     "lamb": lambda lr, wd, mask: optax.lamb(lr, weight_decay=wd, mask=mask),
-    "lars": lambda lr, wd, mask: optax.lars(lr, weight_decay=wd),
+    "lars": lambda lr, wd, mask: optax.lars(
+        lr, weight_decay=wd, weight_decay_mask=mask
+    ),
     "lion": lambda lr, wd, mask: optax.lion(lr, weight_decay=wd, mask=mask),
 }
 

@@ -33,7 +33,7 @@ from ..ops.losses import (
     split_event_targets,
 )
 from ..parallel.mesh import DATA_AXIS, is_hybrid
-from .metrics import init_metric_state, update_metric_state
+from .metrics import init_metric_state, reduce_metric_state, update_metric_state
 from .state import TrainState
 
 
@@ -305,9 +305,7 @@ def make_eval_step(model, options, mesh):
             total,
         )
         if not single:
-            delta = jax.tree_util.tree_map(
-                lambda x: jax.lax.psum(x, DATA_AXIS), delta
-            )
+            delta = reduce_metric_state(delta, DATA_AXIS)
         return jax.tree_util.tree_map(jnp.add, totals, delta)
 
     if single:

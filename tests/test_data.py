@@ -209,6 +209,54 @@ def test_batcher_tail_marks_padded_rows_invalid(synthetic_file):
         pass  # no cap-overflow ValueError
 
 
+def test_batcher_drops_prong_hit_past_event_count(tmp_path):
+    """A prong hit whose prong index exceeds its event's real prong count
+    must be dropped, not scattered into a neighboring event's packed slots
+    (the slot arithmetic alone would land it there)."""
+    import h5py
+
+    clean_path = str(tmp_path / "clean.h5")
+    make_synthetic_file(clean_path, num_events=10, seed=11)  # split keeps >= 8
+    bad_path = str(tmp_path / "malformed.h5")
+    make_synthetic_file(bad_path, num_events=10, seed=11)
+
+    # corrupt one in-range prong hit of event 0: prong index -> past count
+    # (mutate before any EventDataset holds the file open)
+    with h5py.File(bad_path, "r+") as f:
+        lo = int(f["prong_compressed_index"][0, 0])
+        hi = int(f["prong_compressed_index"][0, 1])
+        assert hi > lo, "event 0 has no prong hits in this fixture"
+        n_prongs0 = int(np.asarray(f["prong_mask"][0]).sum())
+        coords = f["prong_pixels_coordinates"]
+        row = np.asarray(coords[lo])
+        row[0] = n_prongs0 + 1           # past event 0's real prongs
+        coords[lo] = row
+
+    clean = Batcher(
+        EventDataset(clean_path), batch_size=8, coo_granularity=256
+    ).build_batch(np.arange(8))
+    cap = clean["slot_batch"].shape[0]
+    n_clean = int((clean["prong_owner"] < cap).sum())
+
+    bad = Batcher(
+        EventDataset(bad_path), batch_size=8, coo_granularity=256
+    ).build_batch(np.arange(8))
+    owners = bad["prong_owner"]
+    # exactly the corrupted hit vanished from the in-range bank
+    assert int((owners < cap).sum()) == n_clean - 1
+    # CSR offsets exclude it too (counts cover exactly the in-range rows)
+    assert int(bad["prong_starts"][-1]) == n_clean - 1
+    # and no owner points outside each event's own slot range
+    slot_batch = bad["slot_batch"]
+    real = owners < cap
+    np.testing.assert_array_equal(
+        slot_batch[owners[real]],
+        slot_batch[clean["prong_owner"][clean["prong_owner"] < cap]][
+            np.arange(n_clean) != 0
+        ],
+    )
+
+
 def test_batcher_fixed_caps_tight_on_skewed_data(tmp_path):
     """Fixed-shape caps use the sum of the top-b per-event counts, not
     ``b * max``: one 4,000-hit event among ~40-hit events no longer forces
