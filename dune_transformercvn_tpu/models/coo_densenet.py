@@ -27,8 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.coo_conv import coo_stem_conv
-from ..ops.masked import MaskedBatchNorm, PReLU
-from .densenet import Bottleneck, Transition
+from .densenet import Bottleneck, densenet_post_stem
 
 
 class CooStemDenseNet(nn.Module):
@@ -111,39 +110,6 @@ class CooStemDenseNet(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + stem_bias.astype(self.dtype)
 
-        x = MaskedBatchNorm(self.initial_features, axis_name=self.axis_name)(
-            x, mask, use_running_average=not train
-        )
-        x = PReLU(self.initial_features)(x)
-        x = nn.avg_pool(x, (3, 3), strides=(2, 2))
-
-        features = self.initial_features
-        block_index = 0
-        for i, num_layers in enumerate(self.block_config):
-            for _ in range(num_layers):
-                x = bottleneck_cls(
-                    self.growth_rate, self.batch_norm_size, self.dropout,
-                    name=f"Bottleneck_{block_index}", **kw
-                )(x, mask, train)
-                block_index += 1
-            features += num_layers * self.growth_rate
-            if i != len(self.block_config) - 1:
-                features //= 2
-                x = Transition(features, **kw)(x, mask, train)
-
-        x = MaskedBatchNorm(features, axis_name=self.axis_name)(
-            x, mask, use_running_average=not train
-        )
-        x = PReLU(features)(x)
-
-        x = jnp.mean(x, axis=(1, 2))
-
-        x = nn.Dense(self.output_dim, use_bias=False, dtype=self.dtype,
-                     param_dtype=jnp.float32)(x)
-        x = MaskedBatchNorm(self.output_dim, axis_name=self.axis_name)(
-            x, mask, use_running_average=not train
-        )
-        x = PReLU(self.output_dim)(x)
-        if self.dropout > 0.0:
-            x = nn.Dropout(self.dropout)(x, deterministic=not train)
-        return x
+        # the exact dense body past the stem — shared so the families
+        # cannot drift (numerically identical with the same weights)
+        return densenet_post_stem(self, x, mask, train, bottleneck_cls, kw)

@@ -95,42 +95,52 @@ class DenseNet(nn.Module):
             self.initial_features, (7, 7), strides=(2, 2), padding=3,
             dtype=self.dtype, param_dtype=jnp.float32,
         )(x)
-        x = MaskedBatchNorm(self.initial_features, axis_name=self.axis_name)(
-            x, mask, use_running_average=not train
-        )
-        x = PReLU(self.initial_features)(x)
-        x = nn.avg_pool(x, (3, 3), strides=(2, 2))
+        return densenet_post_stem(self, x, mask, train, bottleneck_cls, kw)
 
-        features = self.initial_features
-        block_index = 0
-        for i, num_layers in enumerate(self.block_config):
-            for j in range(num_layers):
-                # explicit names keep the param tree (and checkpoints)
-                # identical whether or not remat wrapping is enabled
-                x = bottleneck_cls(
-                    self.growth_rate, self.batch_norm_size, self.dropout,
-                    name=f"Bottleneck_{block_index}", **kw
-                )(x, mask, train)
-                block_index += 1
-            features += num_layers * self.growth_rate
-            if i != len(self.block_config) - 1:
-                features //= 2
-                x = Transition(features, **kw)(x, mask, train)
 
-        x = MaskedBatchNorm(features, axis_name=self.axis_name)(
-            x, mask, use_running_average=not train
-        )
-        x = PReLU(features)(x)
+def densenet_post_stem(mod, x, mask, train, bottleneck_cls, kw):
+    """Post-stem DenseNet-BC body + output head, shared by :class:`DenseNet`
+    and :class:`..models.coo_densenet.CooStemDenseNet` (the families are
+    numerically identical past the stem and must not drift).  A plain helper
+    — not a wrapper Module — so submodules are created in the CALLER's scope
+    and auto/explicit names (hence checkpoints) are unchanged.
+    """
+    x = MaskedBatchNorm(mod.initial_features, axis_name=mod.axis_name)(
+        x, mask, use_running_average=not train
+    )
+    x = PReLU(mod.initial_features)(x)
+    x = nn.avg_pool(x, (3, 3), strides=(2, 2))
 
-        # Global average pool over the remaining spatial extent.
-        x = jnp.mean(x, axis=(1, 2))
+    features = mod.initial_features
+    block_index = 0
+    for i, num_layers in enumerate(mod.block_config):
+        for _ in range(num_layers):
+            # explicit names keep the param tree (and checkpoints)
+            # identical whether or not remat wrapping is enabled
+            x = bottleneck_cls(
+                mod.growth_rate, mod.batch_norm_size, mod.dropout,
+                name=f"Bottleneck_{block_index}", **kw
+            )(x, mask, train)
+            block_index += 1
+        features += num_layers * mod.growth_rate
+        if i != len(mod.block_config) - 1:
+            features //= 2
+            x = Transition(features, **kw)(x, mask, train)
 
-        # Output block: Linear (no bias) -> BN -> PReLU -> Dropout.
-        x = nn.Dense(self.output_dim, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(x)
-        x = MaskedBatchNorm(self.output_dim, axis_name=self.axis_name)(
-            x, mask, use_running_average=not train
-        )
-        x = PReLU(self.output_dim)(x)
-        if self.dropout > 0.0:
-            x = nn.Dropout(self.dropout)(x, deterministic=not train)
-        return x
+    x = MaskedBatchNorm(features, axis_name=mod.axis_name)(
+        x, mask, use_running_average=not train
+    )
+    x = PReLU(features)(x)
+
+    # Global average pool over the remaining spatial extent.
+    x = jnp.mean(x, axis=(1, 2))
+
+    # Output block: Linear (no bias) -> BN -> PReLU -> Dropout.
+    x = nn.Dense(mod.output_dim, use_bias=False, dtype=mod.dtype, param_dtype=jnp.float32)(x)
+    x = MaskedBatchNorm(mod.output_dim, axis_name=mod.axis_name)(
+        x, mask, use_running_average=not train
+    )
+    x = PReLU(mod.output_dim)(x)
+    if mod.dropout > 0.0:
+        x = nn.Dropout(mod.dropout)(x, deterministic=not train)
+    return x

@@ -24,8 +24,14 @@ class MaskedSoftmaxPooling(nn.Module):
     def __call__(self, tokens, mask):
         """``tokens``: [B, T, D]; ``mask``: [B, T] bool -> [B, D]."""
         scores = nn.Dense(1, dtype=self.dtype, param_dtype=jnp.float32)(tokens)[..., 0]
+        # a row with zero real tokens would softmax an all--inf row to NaN
+        # (and NaN-poison gradients even through a post-hoc where); keep its
+        # scores finite and zero its weights instead
+        empty = ~mask.any(-1, keepdims=True)
         scores = jnp.where(mask, scores.astype(jnp.float32), -jnp.inf)
+        scores = jnp.where(empty, 0.0, scores)
         weights = nn.softmax(scores, axis=-1).astype(tokens.dtype)
+        weights = jnp.where(empty, 0.0, weights)
         return jnp.einsum("bt,btd->bd", weights, tokens)
 
 

@@ -105,7 +105,10 @@ class SparseConvNeXt(nn.Module):
         )
         grid = SparseGrid(_remask(x, grid.occupancy), grid.occupancy)
 
-        total_blocks = max(sum(self.hidden_depths), 1)
+        # torch.linspace(0, rate, total) endpoints: denominator total-1, so
+        # the deepest block trains at exactly drop_path_rate
+        # (reference sparse_convnext.py:127)
+        total_blocks = max(sum(self.hidden_depths) - 1, 1)
         block_index = 0
         for stage, (width, depth) in enumerate(
             zip(self.hidden_features, self.hidden_depths)

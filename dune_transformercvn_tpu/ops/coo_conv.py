@@ -232,6 +232,9 @@ def coo_stem_conv(
     valid = (
         valid_x[:, :, None]
         & valid_y[:, None, :]
+        # both bounds: a negative owner would make idx negative, which the
+        # drop-mode scatter numpy-wraps into the LAST image (see scatter.py)
+        & (owner[:, None, None] >= 0)
         & (owner[:, None, None] < batch)
         & in_grid[:, None, None]
     )

@@ -113,15 +113,20 @@ def class_balanced_loss(
     sample_w = (class_weights[None, :num_classes] * one_hot).sum(1, keepdims=True)
     alpha = jnp.broadcast_to(sample_w, one_hot.shape)
 
+    # mean over REAL rows only (the reference's trimmed-batch reduction
+    # 'mean' divides by N_real * K; padded rows already contribute zero to
+    # the numerator via their all-zero alpha)
+    denom = jnp.maximum(sample_w.astype(bool).sum(), 1) * num_classes
+
     if loss_type == "focal":
         return sigmoid_focal_loss(one_hot, logits, alpha, gamma)
     if loss_type == "sigmoid":
         logits = logits.astype(jnp.float32)
         bce = jnp.maximum(logits, 0) - logits * one_hot + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        return jnp.mean(alpha * bce)
+        return jnp.sum(alpha * bce) / denom
     if loss_type == "softmax":
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         probs = jnp.clip(probs, 1e-7, 1 - 1e-7)
         bce = -(one_hot * jnp.log(probs) + (1 - one_hot) * jnp.log(1 - probs))
-        return jnp.mean(alpha * bce)
+        return jnp.sum(alpha * bce) / denom
     raise ValueError(f"unknown loss_type: {loss_type}")

@@ -108,14 +108,20 @@ class MaskedBatchNorm(nn.Module):
                 total_sq = packed[self.channels : 2 * self.channels]
                 count = packed[-1]
 
+            raw_count = count
             count = jnp.maximum(count, 1.0)
             mean = total / count
             var = jnp.maximum(total_sq / count - jnp.square(mean), 0.0)
 
             if not self.is_initializing():
+                # skip the momentum update when the mask selected zero
+                # samples (fabricated mean=0/var=0 would drag the running
+                # stats; the reference packs real rows and never feeds BN
+                # an empty batch)
+                m = self.momentum * (raw_count > 0)
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
-                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
 
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         if self.use_scale:

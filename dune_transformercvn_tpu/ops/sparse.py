@@ -120,9 +120,21 @@ def sparse_conv(
     )
     if expand_coordinates:
         occupancy = _dilate_occupancy(grid.occupancy, k, stride)
+    elif stride == 1:
+        occupancy = grid.occupancy  # coordinate map unchanged
     else:
-        # output coords = input coords snapped to the stride grid
-        occupancy = _dilate_occupancy(grid.occupancy, 1, stride)
+        # output coords = input coords snapped DOWN to the stride grid (ME's
+        # floor-division coordinate map): an output site is occupied iff ANY
+        # input in its stride x stride cell is, not only the cell's corner
+        _, h, w = grid.occupancy.shape
+        counts = jax.lax.reduce_window(
+            grid.occupancy.astype(jnp.float32),
+            0.0, jax.lax.add,
+            window_dimensions=(1, stride, stride),
+            window_strides=(1, stride, stride),
+            padding=((0, 0), (0, -h % stride), (0, -w % stride)),
+        )
+        occupancy = counts > 0
     out = out * occupancy[..., None].astype(out.dtype)
     return SparseGrid(out, occupancy)
 

@@ -58,6 +58,33 @@ def test_sparse_conv_expands_occupancy_and_keeps_zeros():
     assert np.abs(feats[~expected]).max() == 0.0
 
 
+def test_sparse_conv_no_expand_snaps_to_stride_grid():
+    """expand_coordinates=False with stride s: ME's floor-division coordinate
+    map — an output site is occupied iff ANY input in its s x s cell is,
+    not only the cell's corner."""
+    rng = np.random.default_rng(1)
+    grid = random_grid(rng, occupancy=0.0)
+    occ = np.asarray(grid.occupancy).copy()
+    occ[:] = False
+    occ[0, 1, 1] = True          # off-grid input: cell (0, 0)
+    occ[0, 2, 5] = True          # on-grid row, off-grid col: cell (1, 2)
+    grid = SparseGrid(
+        grid.features * 0 + occ[..., None].astype(np.float32), jnp.asarray(occ)
+    )
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4)).astype(np.float32))
+    out = jax.jit(
+        lambda g: sparse_conv(g, w, stride=2, expand_coordinates=False)
+    )(grid)
+    out_occ = np.asarray(out.occupancy)
+    assert out_occ[0, 0, 0] and out_occ[0, 1, 2]
+    assert out_occ.sum() == 2
+    # stride=1: coordinate map unchanged
+    out1 = jax.jit(
+        lambda g: sparse_conv(g, w, stride=1, expand_coordinates=False)
+    )(grid)
+    np.testing.assert_array_equal(np.asarray(out1.occupancy), occ)
+
+
 def test_sparse_avg_pool_counts_only_occupied():
     """ME AvgPooling divides by occupied inputs, not kernel volume."""
     feats = np.zeros((1, 4, 4, 1), np.float32)
