@@ -103,7 +103,12 @@ def roc_curve(scores: np.ndarray, labels: np.ndarray):
     fps = (idx + 1) - tps
     p = max(labels.sum(), 1)
     n = max(len(labels) - labels.sum(), 1)
-    return fps / n, tps / p, scores[idx]
+    # prepend the (0, 0) origin anchor (sklearn's threshold=inf point) so
+    # plotted curves start at the origin even when scores tie at the top
+    fpr = np.concatenate([[0.0], fps / n])
+    tpr = np.concatenate([[0.0], tps / p])
+    thresholds = np.concatenate([[np.inf], scores[idx]])
+    return fpr, tpr, thresholds
 
 
 # ---------------------------------------------------------------------------

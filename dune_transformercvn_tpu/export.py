@@ -211,6 +211,14 @@ def export_run_dir(run_dir: str, output_dir=None, checkpoint: str = "best",
     mgr = CheckpointManager(os.path.join(run_dir, "checkpoints"),
                             top_k=options.checkpoint_top_k)
     step = mgr.best_step() if checkpoint == "best" else mgr.latest_step()
+    if checkpoint == "best" and step is None:
+        import warnings
+
+        warnings.warn(
+            "no ranked checkpoint in this run (never completed a validation "
+            "pass?) — exporting the LATEST checkpoint instead of 'best'",
+            stacklevel=2,
+        )
     state = mgr.restore(jax.device_get(trainer.state), step)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}

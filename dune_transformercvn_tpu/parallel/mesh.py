@@ -141,8 +141,16 @@ def shard_ids_of(devices_flat, process_index: int) -> list:
 
 
 def local_shard_ids(mesh: Mesh) -> list:
-    """Positions along the data axis owned by this process (multi-host)."""
-    return shard_ids_of(mesh.devices.flat, jax.process_index())
+    """Positions along the DATA axis owned by this process (multi-host).
+
+    On a hybrid ``(data, model)`` mesh a data shard is a whole TP row, so
+    enumerate rows — not flattened device positions (which would yield
+    ``data * model`` bogus ids).  Cross-host TP rows are rejected upstream
+    (``loop.py``'s multi-process guard), so a row's process is its first
+    device's.
+    """
+    rows = mesh.devices.reshape(mesh.devices.shape[0], -1)
+    return shard_ids_of([row[0] for row in rows], jax.process_index())
 
 
 def local_batch_rows(array: np.ndarray, num_shards: int, shard_ids: Sequence[int]) -> np.ndarray:

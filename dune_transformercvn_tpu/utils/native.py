@@ -28,13 +28,15 @@ def _load_library():
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-s"],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
+        # always invoke make (dependency-checked: a no-op when the .so is
+        # current, a rebuild when coo_engine.cpp changed — never a stale
+        # binary silently diverging from the committed source)
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
         lib = ctypes.CDLL(_LIB_PATH)
 
         lib.tcvn_build_conv_maps.restype = ctypes.c_int64
@@ -52,7 +54,17 @@ def _load_library():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
         ]
         _lib = lib
-    except Exception:
+    except Exception as e:
+        # degrade to the numpy fallbacks, but say why ONCE — a broken
+        # toolchain silently costs ~30x on the host hot loops otherwise
+        import warnings
+
+        detail = getattr(e, "stderr", b"")
+        detail = detail.decode(errors="replace")[-500:] if detail else str(e)
+        warnings.warn(
+            f"native COO engine unavailable (numpy fallback in use): {detail}",
+            stacklevel=2,
+        )
         _lib_failed = True
         _lib = None
     return _lib
@@ -92,7 +104,9 @@ def native_build_conv_maps(
     if num_out < 0:
         return None
 
-    L = int(pair_counts.max()) if n else 1
+    # min 1 like the numpy fallback (coo_conv.py): the two engines must
+    # hand jit the SAME static shape even when zero pairs survive
+    L = max(int(pair_counts.max()), 1) if n else 1
     if pad_to:
         L = max(L, pad_to)
     in_maps = np.full((volume, L), n, np.int32)

@@ -28,6 +28,12 @@ def find_versions(log_dir: str, name: str) -> List[int]:
 def create_run_dir(log_dir: str, name: str) -> str:
     versions = find_versions(log_dir, name)
     version = (versions[-1] + 1) if versions else 0
-    path = os.path.join(log_dir, name, f"version_{version}")
-    os.makedirs(path, exist_ok=True)
-    return path
+    while True:
+        path = os.path.join(log_dir, name, f"version_{version}")
+        try:
+            # exist_ok=False makes creation atomic: two concurrent launches
+            # (e.g. an HPO sweep) cannot claim the same version directory
+            os.makedirs(path, exist_ok=False)
+            return path
+        except FileExistsError:
+            version += 1

@@ -70,6 +70,11 @@ def main():
 
         mgr = CheckpointManager(ckpt_dir, top_k=options.checkpoint_top_k)
         step = mgr.best_step() if args.checkpoint == "best" else mgr.latest_step()
+        if args.checkpoint == "best" and step is None:
+            print(
+                "WARNING: no ranked checkpoint (run never completed a "
+                "validation pass?) — falling back to the LATEST checkpoint"
+            )
         print(f"Restoring {args.checkpoint} checkpoint: step {step}")
         import jax
 
@@ -81,7 +86,12 @@ def main():
 
     predictions = trainer.predict_split(args.split)
 
-    detailed = predictions["event_targets"].max() >= len(EVENT_CLASS_NAMES)
+    # key on the model's output width, not on which targets happen to occur
+    # in this split (a detailed model evaluated on a coarse-only sample must
+    # still get per-class rows for all of its columns)
+    detailed = (
+        predictions["event_probabilities"].shape[1] != len(EVENT_CLASS_NAMES)
+    )
     event_names = (
         [f"class_{i}" for i in range(predictions["event_probabilities"].shape[1])]
         if detailed else EVENT_CLASS_NAMES

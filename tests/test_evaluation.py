@@ -74,6 +74,8 @@ def test_roc_curve_properties():
     labels = (scores + rng.normal(0, 0.3, 100) > 0.5).astype(int)
     fpr, tpr, thresholds = roc_curve(scores, labels)
     assert (np.diff(fpr) >= 0).all() and (np.diff(tpr) >= 0).all()
+    assert fpr[0] == 0.0 and tpr[0] == 0.0  # sklearn-style origin anchor
+    assert thresholds[0] == np.inf
     assert fpr[-1] == 1.0 and tpr[-1] == 1.0
     assert (np.diff(thresholds) <= 0).all()
 

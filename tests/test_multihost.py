@@ -77,3 +77,16 @@ def test_single_process_degenerate():
     assert ids == list(range(8))
     batch = np.arange(40).reshape(40, 1)
     np.testing.assert_array_equal(local_batch_rows(batch, 8, ids), batch)
+
+
+def test_local_shard_ids_hybrid_mesh_counts_data_rows():
+    """On a hybrid (data, model) mesh, shard ids enumerate DATA rows (one
+    per TP group), not flattened device positions."""
+    import jax
+    from dune_transformercvn_tpu.parallel.mesh import create_mesh, local_shard_ids
+
+    mesh = create_mesh(8, model_parallel=2)           # (data=4, model=2)
+    assert mesh.devices.shape == (4, 2)
+    assert local_shard_ids(mesh) == [0, 1, 2, 3]      # single process owns all
+    plain = create_mesh(8)                            # 1-D data mesh unchanged
+    assert local_shard_ids(plain) == list(range(8))

@@ -131,7 +131,8 @@ def main(
         log_dir=log_dir,
         run_dir=run_dir,
         debug=debug,
-        verbose=verbose or options.verbose_output,
+        verbose=verbose,  # options.verbose_output was clobbered to this above
+                          # (reference-parity CLI override, train.py:59)
         log_graph=graph,
     )
     if checkpoint is not None:
