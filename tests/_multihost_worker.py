@@ -35,6 +35,17 @@ def main():
 
     import numpy as np
 
+    # Establish the Gloo communicator for the full 8-device clique NOW,
+    # while the two processes are still in lock-step (nothing heavy has run
+    # yet).  Gloo's key-value exchange at context init has a hard 30 s
+    # deadline; on this 1-core host the train-step compiles of the two
+    # workers serialize, so the first *training* collective can be reached
+    # >30 s apart and time out.  A trivial all-process allgather compiles in
+    # ~1 s on both workers and caches the context for every later collective.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.process_allgather(np.zeros((1,), np.float32))
+
     from dune_transformercvn_tpu.config import Options
     from dune_transformercvn_tpu.train.loop import Trainer
 
