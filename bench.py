@@ -282,7 +282,7 @@ def main():
     )
     batches64 = [
         {k: jnp.asarray(v) for k, v in batcher64.build_batch(
-            np.arange(64) + 64 * i).items()}
+            (np.arange(64) + 64 * i) % len(dataset)).items()}
         for i in range(3)
     ]
     for b in batches64:
