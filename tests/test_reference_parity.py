@@ -51,85 +51,76 @@ def _import_reference_network():
     return NeutrinoDenseNetwork, RefOptions
 
 
-def t2n(tensor):
-    # .copy(): .numpy() returns a VIEW of torch storage, which an in-place
-    # optimizer step would silently mutate after transplanting
-    return tensor.detach().numpy().copy()
+# The transplant mapping lives in the package now (it powers the reference
+# checkpoint importer, dune_transformercvn_tpu/torch_import.py); these tests
+# drive the SAME functions against the live reference network, so the
+# importer's weight mapping carries this golden coverage.  Re-exported here
+# because the other golden tests (resnet/mobilenet) import them from this
+# module.
+from dune_transformercvn_tpu.torch_import import (  # noqa: F401
+    conv_w,
+    map_densenet,
+    map_encoder_layer,
+    set_bn,
+    t2n,
+    transplant_dense_network,
+)
 
 
-def conv_w(sd, key):  # torch OIHW -> flax HWIO
-    return t2n(sd[key]).transpose(2, 3, 1, 0)
+def reference_inputs(ds, B):
+    """Replicate the reference trainer's host preprocessing on the first B
+    dataset events: mask-normalized features, normalized extra, densified
+    NCHW event/prong images with packed prong slots in row-major (event,
+    position) order.  Reused by tests/test_torch_import.py."""
+    raw = ds.gather_events(np.arange(B))
+    mask = torch.from_numpy(raw["prong_mask"])
+    features = torch.from_numpy(raw["features"]).clone()
+    mean, std = torch.from_numpy(ds.mean), torch.from_numpy(ds.std)
+    features[mask] = (features[mask] - mean) / std
+    extra = (torch.from_numpy(raw["extra"]) - float(ds.extra_mean)) / float(ds.extra_std)
+    event_mask = torch.ones(B, 1, dtype=torch.bool)
+
+    H, W, C = 400, 280, 3
+
+    def densify(coords_xy, values, owner, num_images):
+        out = torch.zeros(num_images, H, W, C)
+        idx = (torch.from_numpy(owner), torch.from_numpy(coords_xy[:, 0]),
+               torch.from_numpy(coords_xy[:, 1]))
+        out.index_put_(idx, torch.from_numpy(values) / 255.0, accumulate=True)
+        return out.permute(0, 3, 1, 2).contiguous()
+
+    event_pixels = densify(raw["event_coords"][:, 1:], raw["event_values"],
+                           raw["event_owner"], B)
+    # packed prong images in row-major (event, position) order == slot order
+    slot_of = {}
+    cursor = 0
+    for i in range(B):
+        for p in range(int(mask[i].sum())):
+            slot_of[(i, p)] = cursor
+            cursor += 1
+    owner_slots = np.array([
+        slot_of[(int(o), int(p))]
+        for o, p in zip(raw["prong_owner"], raw["prong_coords"][:, 0])
+    ])
+    prong_pixels = densify(raw["prong_coords"][:, 1:], raw["prong_values"],
+                           owner_slots, cursor)
+    return features, extra, event_pixels, event_mask, prong_pixels, mask
 
 
-def set_bn(params, stats, sd, prefix):
-    params["scale"] = t2n(sd[f"{prefix}.weight"])
-    params["bias"] = t2n(sd[f"{prefix}.bias"])
-    stats["mean"] = t2n(sd[f"{prefix}.running_mean"])
-    stats["var"] = t2n(sd[f"{prefix}.running_var"])
+def _infer_layout(sd):
+    """Re-derive the architecture the way the importer does, to pin its
+    key-layout inference against the explicitly-configured reference net."""
+    from dune_transformercvn_tpu.torch_import import _infer_densenet_blocks
 
-
-def map_densenet(sd, ref_prefix, params, stats, blocks):
-    params["Conv_0"]["kernel"] = conv_w(sd, f"{ref_prefix}.features.conv0.weight")
-    params["Conv_0"]["bias"] = t2n(sd[f"{ref_prefix}.features.conv0.bias"])
-    set_bn(params["MaskedBatchNorm_0"], stats["MaskedBatchNorm_0"],
-           sd, f"{ref_prefix}.features.norm0")
-    params["PReLU_0"]["alpha"] = t2n(sd[f"{ref_prefix}.features.relu0.weight"])
-
-    bottleneck = transition = 0
-    for i, n in enumerate(blocks):
-        for j in range(n):
-            rp = f"{ref_prefix}.features.dense{i + 1}.layers.{j}"
-            fp = params[f"Bottleneck_{bottleneck}"]
-            fs = stats[f"Bottleneck_{bottleneck}"]
-            set_bn(fp["MaskedBatchNorm_0"], fs["MaskedBatchNorm_0"],
-                   sd, f"{rp}.bottleneck_block.norm1")
-            fp["PReLU_0"]["alpha"] = t2n(sd[f"{rp}.bottleneck_block.relu1.weight"])
-            fp["Conv_0"]["kernel"] = conv_w(sd, f"{rp}.bottleneck_block.conv1.weight")
-            fp["Conv_0"]["bias"] = t2n(sd[f"{rp}.bottleneck_block.conv1.bias"])
-            set_bn(fp["MaskedBatchNorm_1"], fs["MaskedBatchNorm_1"],
-                   sd, f"{rp}.output_block.norm2")
-            fp["PReLU_1"]["alpha"] = t2n(sd[f"{rp}.output_block.relu2.weight"])
-            fp["Conv_1"]["kernel"] = conv_w(sd, f"{rp}.output_block.conv2.weight")
-            fp["Conv_1"]["bias"] = t2n(sd[f"{rp}.output_block.conv2.bias"])
-            bottleneck += 1
-        if i != len(blocks) - 1:
-            rp = f"{ref_prefix}.features.transition{i + 1}"
-            fp = params[f"Transition_{transition}"]
-            fs = stats[f"Transition_{transition}"]
-            set_bn(fp["MaskedBatchNorm_0"], fs["MaskedBatchNorm_0"], sd, f"{rp}.norm")
-            fp["PReLU_0"]["alpha"] = t2n(sd[f"{rp}.relu.weight"])
-            fp["Conv_0"]["kernel"] = conv_w(sd, f"{rp}.conv.weight")
-            fp["Conv_0"]["bias"] = t2n(sd[f"{rp}.conv.bias"])
-            transition += 1
-
-    set_bn(params["MaskedBatchNorm_1"], stats["MaskedBatchNorm_1"],
-           sd, f"{ref_prefix}.features.final_norm")
-    params["PReLU_1"]["alpha"] = t2n(sd[f"{ref_prefix}.features.final_relu.weight"])
-    params["Dense_0"]["kernel"] = t2n(sd[f"{ref_prefix}.output_block.linear.weight"]).T
-    set_bn(params["MaskedBatchNorm_2"], stats["MaskedBatchNorm_2"],
-           sd, f"{ref_prefix}.output_block.norm")
-    params["PReLU_2"]["alpha"] = t2n(sd[f"{ref_prefix}.output_block.relu.weight"])
-
-
-def map_encoder_layer(sd, ref_prefix, params, hidden_dim, heads):
-    hd = hidden_dim // heads
-    in_w = t2n(sd[f"{ref_prefix}.self_attn.in_proj_weight"])
-    in_b = t2n(sd[f"{ref_prefix}.self_attn.in_proj_bias"])
-    mha = params["MultiHeadDotProductAttention_0"]
-    D = hidden_dim
-    for i, name in enumerate(["query", "key", "value"]):
-        mha[name]["kernel"] = in_w[i * D:(i + 1) * D].T.reshape(D, heads, hd)
-        mha[name]["bias"] = in_b[i * D:(i + 1) * D].reshape(heads, hd)
-    mha["out"]["kernel"] = t2n(sd[f"{ref_prefix}.self_attn.out_proj.weight"]).T.reshape(heads, hd, D)
-    mha["out"]["bias"] = t2n(sd[f"{ref_prefix}.self_attn.out_proj.bias"])
-    params["Dense_0"]["kernel"] = t2n(sd[f"{ref_prefix}.linear1.weight"]).T
-    params["Dense_0"]["bias"] = t2n(sd[f"{ref_prefix}.linear1.bias"])
-    params["Dense_1"]["kernel"] = t2n(sd[f"{ref_prefix}.linear2.weight"]).T
-    params["Dense_1"]["bias"] = t2n(sd[f"{ref_prefix}.linear2.bias"])
-    params["LayerNorm_0"]["scale"] = t2n(sd[f"{ref_prefix}.norm1.weight"])
-    params["LayerNorm_0"]["bias"] = t2n(sd[f"{ref_prefix}.norm1.bias"])
-    params["LayerNorm_1"]["scale"] = t2n(sd[f"{ref_prefix}.norm2.weight"])
-    params["LayerNorm_1"]["bias"] = t2n(sd[f"{ref_prefix}.norm2.bias"])
+    blocks = _infer_densenet_blocks(sd, "prong_embedding.event_pixel_embedding")
+    hidden = int(sd["encoder.encoder.layers.0.self_attn.in_proj_weight"].shape[1])
+    layers = sum(1 for k in sd if k.endswith("self_attn.in_proj_weight"))
+    decoder_layers = sum(
+        1 for k in sd
+        if k.startswith("prong_decoder.hidden_layers.")
+        and k.endswith(".weight") and int(k.split(".")[2]) % 3 == 0
+    )
+    return blocks, hidden, layers, decoder_layers
 
 
 def _tiny_common(norm_first):
@@ -218,43 +209,11 @@ def _full_network_parity(tmp_path, common, check_train_mode=True):
     params = jax.device_get(variables["params"])
     stats = jax.device_get(variables["batch_stats"])
 
-    # ---- transplant every reference weight --------------------------------
+    # ---- transplant every reference weight (the importer's mapping) --------
     sd = ref_net.state_dict()
-    map_densenet(sd, "prong_embedding.event_pixel_embedding",
-                 params["event_pixel_embedding"], stats["event_pixel_embedding"], blocks)
-    map_densenet(sd, "prong_embedding.prong_pixel_embedding",
-                 params["prong_pixel_embedding"], stats["prong_pixel_embedding"], blocks)
-    params["event_position_embedding"] = t2n(sd["prong_embedding.event_position_embedding"])
-    params["prong_position_embedding"] = t2n(sd["prong_embedding.prong_position_embedding"])
-
-    ce = params["combined_embedding"]
-    ce["Dense_0"]["kernel"] = t2n(sd["prong_embedding.combined_embedding.linear.weight"]).T
-    set_bn(ce["MaskedBatchNorm_0"], stats["combined_embedding"]["MaskedBatchNorm_0"],
-           sd, "prong_embedding.combined_embedding.norm")
-    ce["PReLU_0"]["alpha"] = t2n(sd["prong_embedding.combined_embedding.activation.weight"])
-
-    for layer in range(layers):
-        map_encoder_layer(
-            sd, f"encoder.encoder.layers.{layer}",
-            params["encoder"][f"EncoderLayer_{layer}"], hidden, heads,
-        )
-
-    params["event_decoder"]["Dense_0"]["kernel"] = t2n(sd["event_decoder.hidden_layer.weight"]).T
-    params["event_decoder"]["Dense_0"]["bias"] = t2n(sd["event_decoder.hidden_layer.bias"])
-
-    pd = params["prong_decoder"]
-    pd_stats = stats["prong_decoder"]
-    for i in range(common["num_prong_decoder_layers"]):
-        lin, bn, act = 3 * i, 3 * i + 1, 3 * i + 2
-        block = pd[f"LinearBlock_{i}"]
-        block["Dense_0"]["kernel"] = t2n(sd[f"prong_decoder.hidden_layers.{lin}.weight"]).T
-        block["Dense_0"]["bias"] = t2n(sd[f"prong_decoder.hidden_layers.{lin}.bias"])
-        set_bn(block["MaskedBatchNorm_0"],
-               pd_stats[f"LinearBlock_{i}"]["MaskedBatchNorm_0"],
-               sd, f"prong_decoder.hidden_layers.{bn}")
-        block["PReLU_0"]["alpha"] = t2n(sd[f"prong_decoder.hidden_layers.{act}.weight"])
-    pd["Dense_0"]["kernel"] = t2n(sd["prong_decoder.output_layer.weight"]).T
-    pd["Dense_0"]["bias"] = t2n(sd["prong_decoder.output_layer.bias"])
+    transplant_dense_network(sd, params, stats, heads=heads)
+    assert _infer_layout(sd) == (blocks, hidden, layers,
+                                 common["num_prong_decoder_layers"])
 
     # ---- our forward -------------------------------------------------------
     ours_ev, ours_pr = jax.jit(
@@ -262,43 +221,10 @@ def _full_network_parity(tmp_path, common, check_train_mode=True):
     )({"params": params, "batch_stats": stats}, jbatch, norm)
 
     # ---- reference forward (trainer preprocessing replicated inline) -------
-    raw = ds.gather_events(np.arange(B))
-    mask = torch.from_numpy(raw["prong_mask"])
-    features = torch.from_numpy(raw["features"]).clone()
-    mean, std = torch.from_numpy(ds.mean), torch.from_numpy(ds.std)
-    features[mask] = (features[mask] - mean) / std
-    extra = (torch.from_numpy(raw["extra"]) - float(ds.extra_mean)) / float(ds.extra_std)
-    event_mask = torch.ones(B, 1, dtype=torch.bool)
-
-    H, W, C = 400, 280, 3
-
-    def densify(coords_xy, values, owner, num_images):
-        out = torch.zeros(num_images, H, W, C)
-        idx = (torch.from_numpy(owner), torch.from_numpy(coords_xy[:, 0]),
-               torch.from_numpy(coords_xy[:, 1]))
-        out.index_put_(idx, torch.from_numpy(values) / 255.0, accumulate=True)
-        return out.permute(0, 3, 1, 2).contiguous()
-
-    event_pixels = densify(raw["event_coords"][:, 1:], raw["event_values"],
-                           raw["event_owner"], B)
-    # packed prong images in row-major (event, position) order == slot order
-    slot_of = {}
-    cursor = 0
-    for i in range(B):
-        for p in range(int(mask[i].sum())):
-            slot_of[(i, p)] = cursor
-            cursor += 1
-    owner_slots = np.array([
-        slot_of[(int(o), int(p))]
-        for o, p in zip(raw["prong_owner"], raw["prong_coords"][:, 0])
-    ])
-    prong_pixels = densify(raw["prong_coords"][:, 1:], raw["prong_values"],
-                           owner_slots, cursor)
-
+    ref_inputs = reference_inputs(ds, B)
     with torch.no_grad():
-        ref_ev, ref_pr = ref_net(
-            features, extra, event_pixels, event_mask, prong_pixels, mask
-        )
+        ref_ev, ref_pr = ref_net(*ref_inputs)
+    raw = ds.gather_events(np.arange(B))
 
     np.testing.assert_allclose(
         np.asarray(ours_ev), t2n(ref_ev), rtol=2e-3, atol=2e-4
@@ -318,9 +244,7 @@ def _full_network_parity(tmp_path, common, check_train_mode=True):
     # masked decoder deliberately fixes, see models/heads.py).
     ref_net.train()
     with torch.no_grad():
-        ref_ev_t, _ = ref_net(
-            features, extra, event_pixels, event_mask, prong_pixels, mask
-        )
+        ref_ev_t, _ = ref_net(*ref_inputs)
     (ours_ev_t, _), _ = jax.jit(
         lambda v, b, n: model.apply(
             v, b, n, train=True,
