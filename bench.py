@@ -86,6 +86,25 @@ def _timed_best(fn, *, rounds, repeats=4):
     return max(best - floor, 1e-9)
 
 
+def _inference_eps(fn, batches, events_per_pass, *, rounds):
+    """Events/s of `fn(batch)` over pre-built batches: warm every batch
+    -shape specialization, then best-of-N windows of `rounds` back-to-back
+    passes (`_timed_best`'s sound fetch barrier).  Shared by the bench's
+    inference rows and the tools (serving_sweep, int8_drift) so the timing
+    protocol lives in exactly one place."""
+    for b in batches:
+        _fetch_scalar(fn(b))
+
+    def all_batches():
+        out = None
+        for b in batches:
+            out = fn(b)
+        return out
+
+    elapsed = _timed_best(all_batches, rounds=rounds)
+    return rounds * events_per_pass / elapsed
+
+
 def _cost_flops(compiled):
     """XLA's analytic FLOP count of a compiled executable, or None."""
     try:
@@ -256,20 +275,13 @@ def main():
         ev, pr = model.apply(variables, batch, norm, train=False)
         return jax.nn.softmax(ev, -1), jax.nn.softmax(pr, -1)
 
-    # Warm up every batch-shape specialization.
-    for b in batches:
-        _fetch_scalar(predict(variables, b, norm))
-
-    def all_batches():
-        out = None
-        for b in batches:
-            out = predict(variables, b, norm)
-        return out
-
     rounds = 8
-    elapsed = _timed_best(all_batches, rounds=rounds)
     events = rounds * len(batches) * options.batch_size
-    eps = events / elapsed
+    eps = _inference_eps(
+        lambda b: predict(variables, b, norm), batches,
+        len(batches) * options.batch_size, rounds=rounds,
+    )
+    elapsed = events / eps
 
     # Serving-batch inference: batch 64 amortizes per-dispatch overhead and
     # pads less per event (lane-aligned slot ladder), the right shape for
@@ -285,18 +297,10 @@ def main():
             (np.arange(64) + 64 * i) % len(dataset)).items()}
         for i in range(3)
     ]
-    for b in batches64:
-        _fetch_scalar(predict(variables, b, norm))
-
-    def all_batches64():
-        out = None
-        for b in batches64:
-            out = predict(variables, b, norm)
-        return out
-
-    rounds64 = 6
-    elapsed64 = _timed_best(all_batches64, rounds=rounds64)
-    eps64 = rounds64 * len(batches64) * 64 / elapsed64
+    eps64 = _inference_eps(
+        lambda b: predict(variables, b, norm), batches64,
+        len(batches64) * 64, rounds=6,
+    )
 
     # auxiliary context for humans (stderr; the driver reads stdout only)
     print(

@@ -413,11 +413,22 @@ class Batcher:
             # the worker and release the queued batches instead of pinning
             # depth+1 assembled global batches for the rest of the process.
             stop.set()
-            try:
-                while True:
-                    q.get_nowait()
-            except queue.Empty:
-                pass
+
+            def _drain():
+                try:
+                    while True:
+                        q.get_nowait()
+                except queue.Empty:
+                    pass
+
+            # Drain once to unblock an in-flight q.put (it can still land
+            # within its 0.1 s window after `stop` is set), wait for the
+            # worker to observe `stop` and exit, then drain again so that
+            # late put is also released — otherwise one assembled global
+            # batch stays pinned in the queue until the generator is GC'd.
+            _drain()
+            t.join(timeout=2.0)
+            _drain()
 
     def _pool_epoch(self, epoch: int, depth: int, num_workers: int,
                     start_batch: int = 0):

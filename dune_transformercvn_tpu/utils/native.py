@@ -30,14 +30,22 @@ def _load_library():
     try:
         # always invoke make (dependency-checked: a no-op when the .so is
         # current, a rebuild when coo_engine.cpp changed — never a stale
-        # binary silently diverging from the committed source)
-        subprocess.run(
-            ["make", "-C", _NATIVE_DIR, "-s"],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        lib = ctypes.CDLL(_LIB_PATH)
+        # binary silently diverging from the committed source).  An
+        # exclusive file lock serializes concurrent loaders (e.g. the two
+        # multi-host test workers): without it, one process can dlopen a
+        # half-written .so while another rebuilds it.  The dlopen happens
+        # under the same lock so no rebuild can overlap it.
+        import fcntl
+
+        with open(_LIB_PATH + ".lock", "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-s"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            lib = ctypes.CDLL(_LIB_PATH)
 
         lib.tcvn_build_conv_maps.restype = ctypes.c_int64
         lib.tcvn_build_conv_maps.argtypes = [

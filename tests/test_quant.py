@@ -193,11 +193,13 @@ def test_unsupported_conv_falls_through():
 
     model = Depthwise()
     x = jnp.asarray(np.random.RandomState(2).randn(2, 8, 8, 8), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x)
-    want = model.apply(variables, x)
-    path = "/".join(
-        p for p in ("Conv_0",)
-    )
-    with quantized_convs(variables["params"], {path: 0.1}):
-        got = model.apply(variables, x)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    want = jax.jit(model.apply)(variables, x)
+
+    @jax.jit
+    def apply_quantized(variables, x):
+        with quantized_convs(variables["params"], {"Conv_0": 0.1}):
+            return model.apply(variables, x)
+
+    got = apply_quantized(variables, x)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

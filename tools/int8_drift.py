@@ -35,7 +35,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import _fetch_scalar, _timed_best
+    from bench import _inference_eps
     from __graft_entry__ import _synthetic_setup
     from dune_transformercvn_tpu.config import Options
     from dune_transformercvn_tpu.ops.quant import (
@@ -116,21 +116,14 @@ def main():
               f" argmax agree={agree:.4f}", file=sys.stderr, flush=True)
 
     # ---- serving throughput: bf16 vs int8 ----------------------------------
-    for b in timed:
-        _fetch_scalar(predict(variables, b, norm))
-        _fetch_scalar(predict_q(variables, b, norm))
-
-    def run(fn):
-        def all_batches():
-            out = None
-            for b in timed:
-                out = fn(variables, b, norm)
-            return out
-        elapsed = _timed_best(all_batches, rounds=ROUNDS)
-        return ROUNDS * len(timed) * BATCH / elapsed
-
-    eps_bf16 = run(predict)
-    eps_int8 = run(predict_q)
+    eps_bf16 = _inference_eps(
+        lambda b: predict(variables, b, norm), timed,
+        len(timed) * BATCH, rounds=ROUNDS,
+    )
+    eps_int8 = _inference_eps(
+        lambda b: predict_q(variables, b, norm), timed,
+        len(timed) * BATCH, rounds=ROUNDS,
+    )
     record["bf16_events_per_second"] = round(eps_bf16, 1)
     record["int8_events_per_second"] = round(eps_int8, 1)
     record["int8_speedup"] = round(eps_int8 / eps_bf16, 4)

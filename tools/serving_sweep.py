@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Sweep inference (serving) batch size on the chip to find the
+throughput-optimal shape for offline scoring.
+
+The headline bench number follows the reference protocol (batch 16 —
+Evaluate.ipynb cell 14 ran its CUDA eval loop at batch 16), but serving
+deployments are free to pick the batch.  Forward-only memory is small, so
+batches far beyond the training max (64) are feasible; the question is
+where per-event cost stops improving — larger batches amortize dispatch
+and pad fewer prong slots per event (lane-aligned ladder), but forward
+-only programs have a known conv-strategy cliff just above 128 packed
+slots (artifacts/prong_slot_shapes_v5e.json).
+
+    python tools/serving_sweep.py        # stderr table + one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCHES = (16, 64, 128, 256)
+NUM_EVENTS = 512
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _inference_eps
+    from __graft_entry__ import _synthetic_setup
+    from dune_transformercvn_tpu.config import Options
+    from dune_transformercvn_tpu.data.batcher import Batcher
+    from dune_transformercvn_tpu.utils.cache import (
+        enable_compile_cache, enable_fast_prng,
+    )
+
+    enable_compile_cache()
+    enable_fast_prng()
+
+    options = Options.load(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "option_files", "fdhd_beam_2018prod_2023_08_07.json")
+    )
+    options.compute_dtype = "bfloat16"
+    options.coo_bucket_granularity = 8192
+
+    dataset, batcher, cfg, model, norm = _synthetic_setup(
+        options, num_events=NUM_EVENTS
+    )
+    norm = {k: jnp.asarray(v) for k, v in norm.items()}
+
+    variables = jax.jit(lambda r, b, n: model.init(r, b, n, train=False))(
+        jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in batcher.build_batch(
+            np.arange(options.batch_size)).items()},
+        norm,
+    )
+
+    @jax.jit
+    def predict(variables, batch, norm):
+        ev, pr = model.apply(variables, batch, norm, train=False)
+        return jax.nn.softmax(ev, -1), jax.nn.softmax(pr, -1)
+
+    record = {"bench": "serving_sweep", "device": str(jax.devices()[0]),
+              "config": "production fdhd dense, bf16"}
+    best = (0.0, None)
+    for bsz in BATCHES:
+        b = Batcher(dataset, batch_size=bsz,
+                    coo_granularity=options.coo_bucket_granularity)
+        # enough distinct batches to cover >=0.5 s windows, wrapping the set
+        n_batches = max(2, 192 // bsz)
+        batches = [
+            {k: jnp.asarray(v) for k, v in b.build_batch(
+                (np.arange(bsz) + bsz * i) % len(dataset)).items()}
+            for i in range(n_batches)
+        ]
+        rounds = max(2, int(np.ceil(0.7 / (0.02 * n_batches * bsz / 64))))
+        try:
+            eps = _inference_eps(
+                lambda bb: predict(variables, bb, norm), batches,
+                n_batches * bsz, rounds=rounds,
+            )
+        except Exception as e:  # e.g. HBM OOM at the largest batches
+            record[f"b{bsz}_events_per_second"] = None
+            record[f"b{bsz}_error"] = type(e).__name__
+            print(f"# b{bsz}: failed ({type(e).__name__})",
+                  file=sys.stderr, flush=True)
+            continue
+        record[f"b{bsz}_events_per_second"] = round(eps, 1)
+        print(f"# b{bsz}: {eps:.0f} ev/s "
+              f"({1e3 * bsz / eps:.2f} ms/batch)",
+              file=sys.stderr, flush=True)
+        if eps > best[0]:
+            best = (eps, bsz)
+
+    record["best_batch"] = best[1]
+    record["best_events_per_second"] = round(best[0], 1)
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()
