@@ -101,6 +101,24 @@ def _window_counts(occupancy: jnp.ndarray, kernel: int, stride: int) -> jnp.ndar
     )
 
 
+def _stride_map_occupancy(occupancy: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """ME's floor-division coordinate map: output coords = input coords
+    snapped DOWN to the stride grid — an output site is occupied iff ANY
+    input in its stride x stride cell is, not only the cell's corner.
+    Identity at stride 1 (the coordinate map is unchanged)."""
+    if stride == 1:
+        return occupancy
+    _, h, w = occupancy.shape
+    counts = jax.lax.reduce_window(
+        occupancy.astype(jnp.float32),
+        0.0, jax.lax.add,
+        window_dimensions=(1, stride, stride),
+        window_strides=(1, stride, stride),
+        padding=((0, 0), (0, -h % stride), (0, -w % stride)),
+    )
+    return counts > 0
+
+
 def sparse_conv(
     grid: SparseGrid,
     kernel_weights: jnp.ndarray,   # [k, k, C_in / groups, C_out]
@@ -120,27 +138,20 @@ def sparse_conv(
     )
     if expand_coordinates:
         occupancy = _dilate_occupancy(grid.occupancy, k, stride)
-    elif stride == 1:
-        occupancy = grid.occupancy  # coordinate map unchanged
     else:
-        # output coords = input coords snapped DOWN to the stride grid (ME's
-        # floor-division coordinate map): an output site is occupied iff ANY
-        # input in its stride x stride cell is, not only the cell's corner
-        _, h, w = grid.occupancy.shape
-        counts = jax.lax.reduce_window(
-            grid.occupancy.astype(jnp.float32),
-            0.0, jax.lax.add,
-            window_dimensions=(1, stride, stride),
-            window_strides=(1, stride, stride),
-            padding=((0, 0), (0, -h % stride), (0, -w % stride)),
-        )
-        occupancy = counts > 0
+        occupancy = _stride_map_occupancy(grid.occupancy, stride)
     out = out * occupancy[..., None].astype(out.dtype)
     return SparseGrid(out, occupancy)
 
 
 def sparse_avg_pool(grid: SparseGrid, kernel: int, stride: int) -> SparseGrid:
-    """ME MinkowskiAvgPooling: mean over the *occupied* inputs per window."""
+    """ME MinkowskiAvgPooling: mean over the *occupied* inputs per window.
+
+    The output coordinate set is ME's stride map of the input coordinates
+    (pooling never expands coordinates: sparse_layers.py:115-123 passes no
+    ``expand_coordinates``), NOT the set of windows touching an input —
+    for ``kernel != stride`` those differ (e.g. the DenseNet stem's 3/2
+    pool and FCNN's 2/1 pool)."""
     # init must be a concrete scalar: an abstract (traced) init hides the
     # add-monoid from JAX and breaks reverse-mode autodiff under jit
     sums = jax.lax.reduce_window(
@@ -150,7 +161,7 @@ def sparse_avg_pool(grid: SparseGrid, kernel: int, stride: int) -> SparseGrid:
         padding=((0, 0), _padding(kernel), _padding(kernel), (0, 0)),
     )
     counts = _window_counts(grid.occupancy, kernel, stride)
-    occupancy = counts > 0
+    occupancy = _stride_map_occupancy(grid.occupancy, stride)
     out = sums / jnp.maximum(counts, 1.0).astype(sums.dtype)[..., None]
     out = out * occupancy[..., None].astype(out.dtype)
     return SparseGrid(out, occupancy)

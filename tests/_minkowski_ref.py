@@ -106,9 +106,9 @@ def minkowski_avg_pool(coords, feats, kernel: int, stride: int,
                        height: int, width: int):
     """ME AvgPooling: per-window mean over occupied inputs.
 
-    Output coordinate set is the window-occupancy map; for the model
-    families' ``kernel == stride`` usage this coincides with ME's
-    floor-division stride map (each window IS one stride cell).
+    The output coordinate set is ME's floor-division stride map of the
+    input coordinates (pooling never expands coordinates) — identical to
+    the input set at stride 1.
     """
     lo = kernel // 2 if kernel % 2 == 1 else 0
     sums: dict = {}
@@ -124,8 +124,13 @@ def minkowski_avg_pool(coords, feats, kernel: int, stride: int,
                 key = (b, ox // stride, oy // stride)
                 sums[key] = sums.get(key, 0.0) + f
                 counts[key] = counts.get(key, 0) + 1
-    out = sorted(sums)
-    feats_out = torch.stack([sums[key] / counts[key] for key in out])
+    keep = {(b, x // stride, y // stride) for b, x, y in _as_tuples(coords)}
+    out = sorted(keep)
+    c = feats.shape[-1]
+    feats_out = torch.stack(
+        [sums[key] / counts[key] if key in sums else feats.new_zeros(c)
+         for key in out]
+    )
     return torch.tensor(out, dtype=torch.int64).reshape(-1, 3), feats_out
 
 

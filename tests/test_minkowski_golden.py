@@ -155,17 +155,21 @@ def test_coo_engine_matches_me_recreation(kernel, stride):
     )
 
 
-def test_avg_pool_matches_me_recreation():
+# every pooling config a model family uses: DenseNet transitions 2/2,
+# DenseNet stem 3/2, FCNN stage smoothing 2/1 — the latter two have
+# coordinate maps (ME's stride map) that differ from the window map
+@pytest.mark.parametrize("kernel,stride", [(2, 2), (3, 2), (2, 1)])
+def test_avg_pool_matches_me_recreation(kernel, stride):
     coords, feats = _random_sparse(seed=3)
     want_coords, want_feats = minkowski_avg_pool(
         coords, torch.from_numpy(feats.astype(np.float64)),
-        kernel=2, stride=2, height=H, width=W,
+        kernel=kernel, stride=stride, height=H, width=W,
     )
 
     @jax.jit
     def run(xy, values, owner):
         grid = from_coo(xy, values, owner, N_IMG, H, W)
-        out = sparse_avg_pool(grid, kernel=2, stride=2)
+        out = sparse_avg_pool(grid, kernel=kernel, stride=stride)
         return out.features, out.occupancy
 
     features, occupancy = run(
