@@ -143,3 +143,42 @@ def minkowski_global_avg_pool(coords, feats, num_images: int):
         out[b] += f
         n[b] += 1
     return out / n.clamp(min=1)
+
+
+# ---- per-point layer helpers (module-composition goldens) -----------------
+# ME wraps plain torch layers over the sparse tensor's point-row matrix
+# (sparse_layers.py:57-105: MinkowskiBatchNorm == BatchNorm1d over rows,
+# SparseLayerNorm == LayerNorm over rows, activations elementwise), so the
+# re-creation applies the identical torch math to the [M, C] feature rows.
+
+
+def align_features(src_coords, src_feats, dst_coords):
+    """Features of ``src`` re-indexed onto ``dst_coords`` (zeros where a
+    destination coordinate has no source row) — ME's aligned concat/residual
+    after a coordinate-expanding convolution."""
+    table = {key: f for key, f in zip(_as_tuples(src_coords), src_feats)}
+    c = src_feats.shape[-1]
+    rows = [table.get(key, src_feats.new_zeros(c))
+            for key in _as_tuples(dst_coords)]
+    return (torch.stack(rows) if rows
+            else src_feats.new_zeros((0, c)))
+
+
+def batch_norm_rows(feats, scale, bias, mean, var, eps=1e-5, train=False):
+    """torch BatchNorm1d semantics over point rows: eval uses the running
+    stats verbatim; train normalizes by the biased batch variance."""
+    if train:
+        mean = feats.mean(0)
+        var = feats.var(0, unbiased=False)
+    y = (feats - mean) / torch.sqrt(var + eps)
+    return y * scale + bias
+
+
+def prelu_rows(feats, alpha):
+    return torch.clamp(feats, min=0) + alpha * torch.clamp(feats, max=0)
+
+
+def layer_norm_rows(feats, scale, bias, eps=1e-6):
+    return torch.nn.functional.layer_norm(
+        feats, feats.shape[-1:], weight=scale, bias=bias, eps=eps
+    )
