@@ -72,7 +72,12 @@ def _timed_best(fn, *, rounds, repeats=4):
     out = fn()           # warm the fetch path too
     _fetch_scalar(out)
     floor = float("inf")
-    for _ in range(3):   # re-fetching ready data measures the RPC round trip
+    # _fetch_scalar dispatches ravel()[0] — a FRESH device buffer — so each
+    # re-fetch of ready data pays the real RPC round trip (~30 ms, verified
+    # on-chip).  device_get of an already-committed array would NOT (it
+    # short-circuits to a host-side copy, ~0.01 ms — see tools/latency_bench
+    # .py's floor protocol), so keep the fetch going through _fetch_scalar.
+    for _ in range(3):
         start = _time.perf_counter()
         _fetch_scalar(out)
         floor = min(floor, _time.perf_counter() - start)

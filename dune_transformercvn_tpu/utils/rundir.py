@@ -25,6 +25,22 @@ def find_versions(log_dir: str, name: str) -> List[int]:
     return sorted(versions)
 
 
+def find_resumable(log_dir: str, name: str):
+    """Newest version dir that already has saved checkpoints, or None.
+
+    The ``--auto_resume`` preemption-recovery scan: versions that died
+    before their first checkpoint save (no ``checkpoints/index.json``) are
+    skipped so the resume lands on real state.
+    """
+    for version in reversed(find_versions(log_dir, name)):
+        candidate = os.path.join(log_dir, name, f"version_{version}")
+        if os.path.exists(
+            os.path.join(candidate, "checkpoints", "index.json")
+        ):
+            return candidate
+    return None
+
+
 def create_run_dir(log_dir: str, name: str) -> str:
     versions = find_versions(log_dir, name)
     version = (versions[-1] + 1) if versions else 0

@@ -2,9 +2,11 @@
 convention the reference relies on (reference train.py:103-105), plus the
 `--auto_resume` candidate scan built on them (train.py:114-125)."""
 
-import os
-
-from dune_transformercvn_tpu.utils.rundir import create_run_dir, find_versions
+from dune_transformercvn_tpu.utils.rundir import (
+    create_run_dir,
+    find_resumable,
+    find_versions,
+)
 
 
 def test_find_versions_numeric_order_and_filtering(tmp_path):
@@ -37,18 +39,15 @@ def test_create_run_dir_skips_claimed_versions(tmp_path):
 
 
 def test_auto_resume_picks_newest_dir_with_checkpoints(tmp_path):
-    """The train.py --auto_resume scan: newest version that has a checkpoint
-    index, skipping newer dirs that died before their first save."""
+    """The train.py --auto_resume scan (`find_resumable`): newest version
+    that has a checkpoint index, skipping newer dirs that died before their
+    first save."""
+    assert find_resumable(str(tmp_path), "run") is None
     for version, with_ckpt in ((0, True), (1, True), (2, False)):
         d = tmp_path / "run" / f"version_{version}"
         (d / "checkpoints").mkdir(parents=True)
         if with_ckpt:
             (d / "checkpoints" / "index.json").write_text("{}")
 
-    chosen = None
-    for version in reversed(find_versions(str(tmp_path), "run")):
-        candidate = os.path.join(str(tmp_path), "run", f"version_{version}")
-        if os.path.exists(os.path.join(candidate, "checkpoints", "index.json")):
-            chosen = candidate
-            break
+    chosen = find_resumable(str(tmp_path), "run")
     assert chosen is not None and chosen.endswith("version_1")

@@ -12,9 +12,12 @@ Honesty notes (same grounds as PARITY.md "Timing methodology"):
 * ``jax.block_until_ready`` returns early on this tunneled backend, so each
   request is closed by a device->host scalar fetch — exactly what a serving
   caller that needs the probabilities would do anyway.
-* The tunnel adds a measured RPC floor (~30 ms) that a production host
-  -attached v5e does not pay; the artifact records the measured floor and
-  the floor-subtracted device estimate beside the raw round trip.
+* The tunnel adds a measured RPC floor (~27-37 ms, run-to-run variance)
+  that a production host-attached v5e does not pay; the artifact records
+  the floor beside the raw round trips.  Floor subtraction is left to the
+  reader: both quantities swing ±25%, so the difference is noise — the
+  offline per-batch time (batch_size / serving_sweep throughput) is the
+  sound per-request compute reference.
 
     python tools/latency_bench.py        # stderr table + one JSON line
 """
@@ -31,14 +34,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCHES = (1, 4, 16)
-REQUESTS = 60
+REQUESTS = 240
 
 
 def _percentiles(samples):
+    # no p99: even at 240 samples it is defined by the worst 2-3 requests,
+    # which on the ±25%-variance tunnel record hiccups, not serving latency;
+    # max_ms is reported explicitly AS the worst observed hiccup instead
     return {
         "p50_ms": round(float(np.percentile(samples, 50)) * 1e3, 2),
         "p95_ms": round(float(np.percentile(samples, 95)) * 1e3, 2),
-        "p99_ms": round(float(np.percentile(samples, 99)) * 1e3, 2),
+        "max_ms": round(float(np.max(samples)) * 1e3, 2),
     }
 
 
@@ -98,11 +104,12 @@ def main():
         "config": "production fdhd dense, bf16, request = dispatch+execute+"
                   "fetch(event probs)",
         "rpc_floor_p50_ms": round(floor_p50 * 1e3, 2),
-        "note": "the tunnel's RPC floor is included in the raw percentiles; "
-                "device_estimate subtracts its p50, and is a LOWER bound on "
-                "device compute (the fetch round trip overlaps execution) — "
-                "cross-check against the offline per-batch time "
-                "(batch_size / serving_sweep throughput)",
+        "note": "raw percentiles INCLUDE the tunnel's RPC floor (a "
+                "host-attached chip does not pay it); subtracting the floor "
+                "is noise-dominated (both quantities swing ±25% run to "
+                "run), so per-request device compute is better read from "
+                "the offline per-batch time: batch_size / serving_sweep "
+                "throughput, e.g. 13.9 ms at b16",
     }
     for bsz in BATCHES:
         b = Batcher(dataset, batch_size=bsz,
@@ -122,9 +129,6 @@ def main():
             jax.device_get(ev[0, 0])
             samples.append(time.perf_counter() - t0)
         stats = _percentiles(samples)
-        stats["device_estimate_p50_ms"] = round(
-            max(stats["p50_ms"] - floor_p50 * 1e3, 0.0), 2
-        )
         record[f"b{bsz}"] = stats
         print(f"# b{bsz}: {stats}", file=sys.stderr, flush=True)
 

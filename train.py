@@ -114,15 +114,11 @@ def main(
     if auto_resume:
         # Preemption recovery: continue the newest version dir that already
         # has checkpoints instead of starting version_N+1.
-        from dune_transformercvn_tpu.utils.rundir import find_versions
+        from dune_transformercvn_tpu.utils.rundir import find_resumable
 
-        base = log_dir or os.getcwd()
-        for version in reversed(find_versions(base, name)):
-            candidate = os.path.join(base, name, f"version_{version}")
-            if os.path.exists(os.path.join(candidate, "checkpoints", "index.json")):
-                run_dir = candidate
-                print(f"Auto-resuming in {run_dir}")
-                break
+        run_dir = find_resumable(log_dir or os.getcwd(), name)
+        if run_dir is not None:
+            print(f"Auto-resuming in {run_dir}")
 
     trainer = Trainer(
         options,
