@@ -61,6 +61,13 @@ class Batcher:
         ``None`` for the measured-optimal automatic choice (see below).
     coo_granularity:
         COO hit-count bucket granularity per shard.
+    local_shards:
+        Multi-host: the data-shard ids this host feeds.  Assembly then
+        touches only those shards' events (per-host work is O(local
+        batch), SURVEY §2.3 "each host reads a disjoint HDF5 slice")
+        while the static bucket sizes are still chosen from the *global*
+        index list's metadata, so every host compiles identical shapes
+        without communication.  ``None`` assembles all shards.
     """
 
     def __init__(
@@ -74,6 +81,7 @@ class Batcher:
         seed: int = 0,
         drop_last: bool = True,
         fixed_shape: bool = False,
+        local_shards: Optional[Sequence[int]] = None,
     ):
         if batch_size % num_shards != 0:
             raise ValueError(
@@ -112,6 +120,14 @@ class Batcher:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        if local_shards is not None:
+            local_shards = sorted(int(s) for s in local_shards)
+            if any(s < 0 or s >= num_shards for s in local_shards):
+                raise ValueError(
+                    f"local_shards {local_shards} out of range for "
+                    f"num_shards={num_shards}"
+                )
+        self.local_shards = local_shards
 
         # fixed_shape: one static signature for every batch (exactly one XLA
         # specialization, and shard shapes that agree across hosts without
@@ -176,40 +192,51 @@ class Batcher:
         return self.capacity_ladder[-1]
 
     def build_batch(
-        self, indices: np.ndarray, valid: Optional[np.ndarray] = None
+        self, indices: np.ndarray, valid: Optional[np.ndarray] = None,
+        shards: Optional[Sequence[int]] = None,
     ) -> Dict[str, np.ndarray]:
-        """Assemble one global batch for the given event indices.
+        """Assemble one batch for the given *global* event indices.
 
         ``valid`` marks rows that are real (wrap-padded tail rows get
         ``False``): invalid rows keep their images/masks (static shapes) but
         their event and prong targets are set to -1 so losses and metrics
         exclude them.
+
+        ``shards`` (default: the constructor's ``local_shards``) restricts
+        assembly to a subset of the data shards: only those shards' events
+        are gathered and packed, and the returned arrays hold
+        ``len(shards)`` shard blocks in the given order — exactly the rows
+        ``local_batch_rows`` would slice out of the full assembly (bit
+        -equal; proven by tests/test_multihost_exec.py).  Bucket sizes are
+        always chosen from the full index list's per-event metadata
+        (prong-mask counts and CSR hit ranges — cheap RAM lookups), so
+        every host agrees on shapes with no communication.
         """
         S, b = self.num_shards, self.per_shard
         assert len(indices) == S * b
-
-        raw = self.dataset.gather_events(indices)
-        if valid is not None and not valid.all():
-            raw["event_targets"] = np.where(valid, raw["event_targets"], -1)
-            raw["prong_targets"] = np.where(
-                valid[:, None], raw["prong_targets"], -1
-            )
-        mask = raw["prong_mask"].reshape(S, b, MAX_PRONGS)
+        indices = np.asarray(indices)
+        if shards is None:
+            shards = self.local_shards
+        shards = list(range(S)) if shards is None else [int(s) for s in shards]
+        L = len(shards)
+        ds = self.dataset
 
         # --- choose the static bucket sizes for this batch -------------------
-        counts = mask.sum(-1)                            # [S, b]
-        ev_owner_g = raw["event_owner"]                  # global row of each hit
-        pr_owner_g = raw["prong_owner"]
-        ev_shard = ev_owner_g // b
-        pr_shard = pr_owner_g // b
+        # Metadata only (per-event prong counts + CSR hit ranges over the
+        # FULL global index list) so the choice is identical on every host.
+        counts_all = ds.prong_mask[indices].sum(-1).reshape(S, b)
+        ev_ranges = ds.event_compressed_index[indices]
+        pr_ranges = ds.prong_compressed_index[indices]
+        ev_per_shard = (ev_ranges[:, 1] - ev_ranges[:, 0]).reshape(S, b).sum(-1)
+        pr_per_shard = (pr_ranges[:, 1] - pr_ranges[:, 0]).reshape(S, b).sum(-1)
 
         if self.fixed_caps is not None:
             prong_cap = self.fixed_caps.prong_slots
             ev_cap = self.fixed_caps.event_hits
             pr_cap = self.fixed_caps.prong_hits
-            needed_prongs = int(counts.sum(-1).max())
-            needed_ev = int(np.bincount(ev_shard, minlength=S).max())
-            needed_pr = int(np.bincount(pr_shard, minlength=S).max())
+            needed_prongs = int(counts_all.sum(-1).max())
+            needed_ev = int(ev_per_shard.max())
+            needed_pr = int(pr_per_shard.max())
             if needed_prongs > prong_cap or needed_ev > ev_cap or needed_pr > pr_cap:
                 raise ValueError(
                     f"fixed_shape caps exceeded: need (prongs {needed_prongs}, "
@@ -217,20 +244,33 @@ class Batcher:
                     f"({prong_cap}, {ev_cap}, {pr_cap})"
                 )
         else:
-            prong_cap = self._prong_capacity(int(counts.sum(-1).max()))
-            ev_per_shard = np.bincount(ev_shard, minlength=S)
-            pr_per_shard = np.bincount(pr_shard, minlength=S)
+            prong_cap = self._prong_capacity(int(counts_all.sum(-1).max()))
             ev_cap = _bucket(int(ev_per_shard.max()), self.coo_granularity)
             pr_cap = _bucket(int(pr_per_shard.max()), self.coo_granularity)
+
+        # --- gather only the selected shards' events -------------------------
+        local_indices = indices.reshape(S, b)[shards].reshape(-1)
+        raw = ds.gather_events(local_indices)
+        if valid is not None and not valid.all():
+            valid_local = valid.reshape(S, b)[shards].reshape(-1)
+            raw["event_targets"] = np.where(valid_local, raw["event_targets"], -1)
+            raw["prong_targets"] = np.where(
+                valid_local[:, None], raw["prong_targets"], -1
+            )
+        counts = counts_all[shards]                      # [L, b]
+        ev_owner_g = raw["event_owner"]                  # row within the gather
+        pr_owner_g = raw["prong_owner"]
+        ev_shard = ev_owner_g // b                       # local shard position
+        pr_shard = pr_owner_g // b
 
         C = raw["event_values"].shape[1] if raw["event_values"].size else self.dataset.pixel_features
 
         # --- packed prong slot maps ------------------------------------------
-        slot_batch = np.full((S, prong_cap), b, dtype=np.int32)   # b == OOB pad
-        slot_pos = np.zeros((S, prong_cap), dtype=np.int32)
-        slot_mask = np.zeros((S, prong_cap), dtype=bool)
-        slot_start = np.zeros((S, b), dtype=np.int64)             # first slot per event
-        for s in range(S):
+        slot_batch = np.full((L, prong_cap), b, dtype=np.int32)   # b == OOB pad
+        slot_pos = np.zeros((L, prong_cap), dtype=np.int32)
+        slot_mask = np.zeros((L, prong_cap), dtype=bool)
+        slot_start = np.zeros((L, b), dtype=np.int64)             # first slot per event
+        for s in range(L):
             cursor = 0
             for i in range(b):
                 n = int(counts[s, i])
@@ -243,14 +283,14 @@ class Batcher:
         # --- COO banks, padded to the bucket with OOB owners ------------------
         def pack_coo(coords, values, owner_g, shard_of_hit, caps, owner_local_fn,
                      oob, num_owners):
-            out_xy = np.zeros((S, caps, 2), dtype=np.int32)
-            out_v = np.zeros((S, caps, C), dtype=np.float32)
-            out_o = np.full((S, caps), oob, dtype=np.int32)
+            out_xy = np.zeros((L, caps, 2), dtype=np.int32)
+            out_v = np.zeros((L, caps, C), dtype=np.float32)
+            out_o = np.full((L, caps), oob, dtype=np.int32)
             # per-image CSR offsets over the owner-sorted bank (dataset hits
             # arrive grouped by event/prong, so local owners are already
             # ascending) — consumed by the Pallas densify fast path
-            out_starts = np.zeros((S, num_owners + 1), dtype=np.int32)
-            for s in range(S):
+            out_starts = np.zeros((L, num_owners + 1), dtype=np.int32)
+            for s in range(L):
                 sel = shard_of_hit == s
                 n = int(sel.sum())
                 out_xy[s, :n] = coords[sel][:, 1:3]
@@ -426,8 +466,12 @@ class Batcher:
             # worker to observe `stop` and exit, then drain again so that
             # late put is also released — otherwise one assembled global
             # batch stays pinned in the queue until the generator is GC'd.
+            # The join is bounded: a worker mid-assembly of a slow batch can
+            # outlive the timeout, in which case its one queued batch stays
+            # pinned until the daemon thread finishes (the leak is deferred,
+            # not eliminated); consumer exit itself never blocks >1 s.
             _drain()
-            t.join(timeout=2.0)
+            t.join(timeout=1.0)
             _drain()
 
     def _pool_epoch(self, epoch: int, depth: int, num_workers: int,

@@ -200,7 +200,7 @@ def make_calibration_fn(model):
 
 
 def calibrate_activation_scales(
-    model, variables, batches, norm, *, percentile_headroom: float = 1.0
+    model, variables, batches, norm, *, headroom: float = 1.0
 ) -> Dict[str, float]:
     """Run ``batches`` through the bf16 network and return per-conv-path
     activation scales ``max|x| * headroom / 127``.
@@ -215,7 +215,7 @@ def calibrate_activation_scales(
         for key, value in rec.items():
             maxima[key] = max(maxima.get(key, 0.0), float(value))
     return {
-        key: (value * percentile_headroom) / 127.0
+        key: (value * headroom) / 127.0
         for key, value in maxima.items()
         if value > 0.0
     }

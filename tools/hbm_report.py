@@ -114,6 +114,11 @@ def main():
             row["temps_gib"] + row["arguments_gib"]
             + row["outputs_gib"] - row["aliased_gib"] + row["code_gib"], 3
         )
+        row["note"] = (
+            "peak_estimate_gib is a compile-time heuristic (sum of XLA "
+            "memory_analysis components), not a measured peak; it can "
+            "overcount buffer reuse (the b64 config executes in practice)"
+        )
         record[key] = row
         print(f"# {key}: {row}", file=sys.stderr, flush=True)
         del state, compiled

@@ -130,7 +130,14 @@ def main():
     print(f"# throughput b{BATCH}: bf16 {eps_bf16:.0f} ev/s, int8 "
           f"{eps_int8:.0f} ev/s ({eps_int8 / eps_bf16:.2f}x)",
           file=sys.stderr, flush=True)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "int8_drift_v5e.json",
+    )
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
     print(json.dumps(record))
+    print(f"# artifact -> {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
