@@ -156,6 +156,11 @@ class Trainer:
                 or self.multi_process
                 or self.steps_per_dispatch > 1
             ),
+            # Host-local assembly: each host gathers + packs only its own
+            # shards' events (O(local batch) host work per step — the DDP
+            # per-rank sampler equivalent, SURVEY §2.3), with bucket sizes
+            # still derived from the global index metadata so shapes agree.
+            local_shards=self._local_shards if self.multi_process else None,
         )
         self.train_batcher = Batcher(self.training_dataset, shuffle=True, **batcher_kwargs)
         # drop_last=False: validation splits smaller than the global batch
@@ -271,21 +276,16 @@ class Trainer:
 
     def _device_stacked(self, group):
         """Stack K host batches into [K, ...] leaves and place them with the
-        scan-axis-replicated, data-sharded layout."""
+        scan-axis-replicated, data-sharded layout.  Train batches are
+        assembled host-locally (Batcher ``local_shards``), so the rows are
+        already exactly this process's slice."""
         stacked = {k: np.stack([b[k] for b in group]) for k in group[0]}
         if not self.multi_process:
             return jax.device_put(stacked, self.stacked_sharding)
-
-        def place(array):
-            local = np.stack([
-                local_batch_rows(a, self.num_shards, self._local_shards)
-                for a in array
-            ])
-            return jax.make_array_from_process_local_data(
-                self.stacked_sharding, local
-            )
-
-        return {k: place(v) for k, v in stacked.items()}
+        return {
+            k: jax.make_array_from_process_local_data(self.stacked_sharding, v)
+            for k, v in stacked.items()
+        }
 
     def _train_dispatch_iter(self, host_iterator, max_batches: int):
         """Yield ``(took, device_batch, step_fn)`` ready to execute, placed
@@ -320,12 +320,18 @@ class Trainer:
         if pending is not None:
             yield pending
 
-    def _device_batch(self, batch):
+    def _device_batch(self, batch, assembled_local: bool = True):
+        """Place one host batch.  ``assembled_local`` says the rows are
+        already this process's shards (the train/val batchers assemble
+        host-locally); ``False`` takes a full global batch and slices the
+        local rows out (predict_split's full-assembly batcher)."""
         if not self.multi_process:
             return jax.device_put(batch, self.batch_sharding)
 
         def place(array):
-            local = local_batch_rows(array, self.num_shards, self._local_shards)
+            local = array if assembled_local else local_batch_rows(
+                array, self.num_shards, self._local_shards
+            )
             return jax.make_array_from_process_local_data(
                 self.batch_sharding, local
             )
@@ -409,7 +415,10 @@ class Trainer:
         seen = 0
         for batch in batcher.prefetch_epoch(0, num_workers=self.num_workers):
             probs_e, probs_p = fetch(
-                self.predict_step(self.state, self._device_batch(batch))
+                self.predict_step(
+                    self.state,
+                    self._device_batch(batch, assembled_local=False),
+                )
             )
             take = min(self.global_batch, len(dataset) - seen)
             mask = batch["prong_targets"][:take] >= 0

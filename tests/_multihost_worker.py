@@ -53,9 +53,26 @@ def main():
     trainer = Trainer(options, debug=True, verbose=False)
     assert trainer.multi_process and trainer.num_shards == 8
 
+    # Host-local assembly (Batcher local_shards): this host's batches must
+    # be BIT-equal to the local slice of a full-assembly batch — the
+    # correctness contract that lets per-host work stay O(local batch).
+    from dune_transformercvn_tpu.parallel.mesh import local_batch_rows
+
+    batcher = trainer.train_batcher
+    assert batcher.local_shards == sorted(trainer._local_shards)
+    check_idxs = np.arange(trainer.global_batch)
+    full = batcher.build_batch(check_idxs, shards=range(trainer.num_shards))
+    local = batcher.build_batch(check_idxs)  # constructor local_shards
+    for key in full:
+        want = local_batch_rows(
+            full[key], trainer.num_shards, batcher.local_shards
+        )
+        assert np.array_equal(local[key], want), (
+            f"host-local assembly diverges from full assembly on {key}"
+        )
+
     losses = []
     state = trainer.state
-    batcher = trainer.train_batcher
     for step in range(4):
         idxs = np.arange(trainer.global_batch) + step * trainer.global_batch
         idxs = idxs % len(trainer.training_dataset)

@@ -324,3 +324,43 @@ def test_batcher_prefetch_matches_sync(synthetic_file):
     for x, y in zip(sync, pre):
         np.testing.assert_array_equal(x["event_targets"], y["event_targets"])
         np.testing.assert_array_equal(x["prong_vals"], y["prong_vals"])
+
+
+def test_batcher_local_shard_assembly(synthetic_file):
+    """Host-local assembly (multi-host: each host packs only its shards)
+    must be bit-equal to the matching shard blocks of the full assembly,
+    for plain, tail-padded, and fixed-shape batchers."""
+    from dune_transformercvn_tpu.parallel.mesh import local_batch_rows
+
+    ds = EventDataset(synthetic_file, event_current_targets=True)
+    for kwargs in (
+        dict(),
+        dict(fixed_shape=True),
+    ):
+        full_b = Batcher(ds, batch_size=8, num_shards=4,
+                         coo_granularity=256, **kwargs)
+        idx = np.arange(8) + 5
+        full = full_b.build_batch(idx)
+        for shards in ([0], [1, 3], [2, 0]):
+            local = full_b.build_batch(idx, shards=shards)
+            for key in full:
+                want = np.concatenate([
+                    local_batch_rows(full[key], 4, [s]) for s in shards
+                ])
+                np.testing.assert_array_equal(
+                    local[key], want, err_msg=f"{key} shards={shards} {kwargs}"
+                )
+
+    # constructor-pinned local shards apply to epoch iteration + tails
+    pinned = Batcher(ds, batch_size=8, num_shards=4, coo_granularity=256,
+                     drop_last=False, local_shards=[1, 2])
+    reference = Batcher(ds, batch_size=8, num_shards=4, coo_granularity=256,
+                        drop_last=False)
+    for local, full in zip(pinned.epoch(0), reference.epoch(0)):
+        for key in full:
+            want = local_batch_rows(full[key], 4, [1, 2])
+            np.testing.assert_array_equal(local[key], want, err_msg=key)
+
+    # out-of-range shard ids are rejected loudly
+    with pytest.raises(ValueError):
+        Batcher(ds, batch_size=8, num_shards=4, local_shards=[4])
