@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Tuple
+from dataclasses import replace
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,32 @@ import numpy as np
 from .models.network import ModelConfig, TransformerCVN
 
 VARIANTS = ("pid", "embeddings", "combined")
+
+# Default prong-capacity ladder for bucketed exports.  The reference's
+# TorchScript graphs take a *dynamic* Npng (CreateCompiled.ipynb cell 6:
+# `pixel_maps.shape[0] - 1` drives the graph), so a 3-prong event pays 4
+# CNN passes in LArSoft; a static max_prongs graph pays 21.  Exporting a
+# small ladder of static capacities recovers the serving cost scaling with
+# zero dynamic shapes: the caller picks the smallest bucket >= Npng.
+DEFAULT_PRONG_BUCKETS = (4, 8, 12)
+
+
+def _normalize_buckets(
+    prong_buckets: Sequence[int] | None, max_prongs: int
+) -> Tuple[int, ...]:
+    """Sorted unique capacities clipped to [1, max_prongs]; the full
+    capacity is always present so every event has a bucket."""
+    buckets = set(int(p) for p in (prong_buckets or ()))
+    buckets = {p for p in buckets if 1 <= p < max_prongs}
+    buckets.add(max_prongs)
+    return tuple(sorted(buckets))
+
+
+def select_bucket(prong_buckets: Sequence[int], num_prongs: int) -> int:
+    """Serving-side dispatch rule: smallest exported capacity >=
+    ``num_prongs`` (mirrored in C++ by native/pjrt_loader.cc)."""
+    eligible = [p for p in prong_buckets if p >= num_prongs]
+    return min(eligible) if eligible else max(prong_buckets)
 
 
 def _fold_event_probs(probs: jnp.ndarray, num_classes: int) -> jnp.ndarray:
@@ -116,19 +143,29 @@ def export_model(
     output_dir: str,
     prefix: str = "transformercvn",
     platforms: Tuple[str, ...] | None = None,
+    prong_buckets: Sequence[int] | None = None,
 ) -> Dict[str, str]:
-    """Serialize the three inference graphs; returns {variant: path}.
+    """Serialize the three inference graphs; returns {variant[_pP]: path}.
 
-    Two artifacts per variant:
+    Two artifacts per variant (and per prong-capacity bucket):
 
-    * ``{prefix}_{variant}.stablehlo`` — the full ``jax.export`` envelope
-      (calling convention + shapes + platform checks); Python round-trips
-      it with ``jax.export.deserialize``.
-    * ``{prefix}_{variant}.stablehlo.mlirbc`` — the inner StableHLO
-      portable artifact (``exported.mlir_module_serialized``), the bytes
-      the C++ side feeds to ``PJRT_Client_Compile`` as format ``"mlir"``
+    * ``{prefix}_{variant}[_pP].stablehlo`` — the full ``jax.export``
+      envelope (calling convention + shapes + platform checks); Python
+      round-trips it with ``jax.export.deserialize``.
+    * ``…stablehlo.mlirbc`` — the inner StableHLO portable artifact
+      (``exported.mlir_module_serialized``), the bytes the C++ side feeds
+      to ``PJRT_Client_Compile`` as format ``"mlir"``
       (native/pjrt_loader.cc). PJRT wants this inner module, not the
       envelope.
+
+    ``prong_buckets`` exports a ladder of static prong capacities sharing
+    the one checkpoint (the full capacity is always included and keeps the
+    unsuffixed legacy filename).  A caller serving an Npng-prong event
+    picks the smallest bucket >= Npng so CNN cost scales with the real
+    prong count instead of max_prongs — the static-shape answer to the
+    reference's dynamic-Npng TorchScript graphs (CreateCompiled.ipynb
+    cell 6).  No parameter shape depends on max_prongs (position
+    embeddings are per-type), so every bucket reuses ``variables``.
 
     ``platforms`` lowers for specific backends (e.g. ``("tpu",)`` when
     exporting from a CPU host for the LArSoft TPU hook); ``None`` uses
@@ -137,32 +174,44 @@ def export_model(
     cfg = model.cfg
     os.makedirs(output_dir, exist_ok=True)
 
+    buckets = _normalize_buckets(prong_buckets, cfg.max_prongs)
     pixel_shape = (1 + cfg.max_prongs, cfg.pixel_channels,
                    cfg.image_height, cfg.image_width)
-    example_pixels = jnp.zeros(pixel_shape, jnp.float32)
     example_n = jnp.asarray(3, jnp.int32)
     norm = {k: jnp.asarray(v) for k, v in norm.items()}
 
     paths = {}
     exported_platforms = None
     output_avals: Dict[str, list] = {}
-    for variant in VARIANTS:
-        fn = build_inference_fn(model, variant)
-        closed = lambda pixels, n, _fn=fn: _fn(variables, norm, pixels, n)
-        export_kwargs = {} if platforms is None else {"platforms": platforms}
-        exported = jax.export.export(jax.jit(closed), **export_kwargs)(
-            example_pixels, example_n)
-        exported_platforms = list(exported.platforms)
-        output_avals[variant] = [
-            {"shape": list(a.shape), "dtype": str(a.dtype)}
-            for a in exported.out_avals
-        ]
-        path = os.path.join(output_dir, f"{prefix}_{variant}.stablehlo")
-        with open(path, "wb") as f:
-            f.write(exported.serialize())
-        with open(path + ".mlirbc", "wb") as f:
-            f.write(exported.mlir_module_serialized)
-        paths[variant] = path
+    bucket_files: Dict[str, Dict[str, str]] = {v: {} for v in VARIANTS}
+    for bucket in buckets:
+        bucket_model = (
+            model if bucket == cfg.max_prongs
+            else TransformerCVN(replace(cfg, max_prongs=bucket))
+        )
+        example_pixels = jnp.zeros(
+            (1 + bucket,) + pixel_shape[1:], jnp.float32)
+        suffix = "" if bucket == cfg.max_prongs else f"_p{bucket}"
+        for variant in VARIANTS:
+            fn = build_inference_fn(bucket_model, variant)
+            closed = lambda pixels, n, _fn=fn: _fn(variables, norm, pixels, n)
+            export_kwargs = {} if platforms is None else {"platforms": platforms}
+            exported = jax.export.export(jax.jit(closed), **export_kwargs)(
+                example_pixels, example_n)
+            exported_platforms = list(exported.platforms)
+            if bucket == cfg.max_prongs:
+                output_avals[variant] = [
+                    {"shape": list(a.shape), "dtype": str(a.dtype)}
+                    for a in exported.out_avals
+                ]
+            name = f"{prefix}_{variant}{suffix}.stablehlo"
+            path = os.path.join(output_dir, name)
+            with open(path, "wb") as f:
+                f.write(exported.serialize())
+            with open(path + ".mlirbc", "wb") as f:
+                f.write(exported.mlir_module_serialized)
+            paths[variant + suffix] = path
+            bucket_files[variant][str(bucket)] = name
 
     with open(os.path.join(output_dir, f"{prefix}_export_meta.json"), "w") as f:
         json.dump(
@@ -172,6 +221,8 @@ def export_model(
                 "platforms": exported_platforms,
                 "outputs": output_avals,
                 "max_prongs": cfg.max_prongs,
+                "prong_buckets": list(buckets),
+                "bucket_files": bucket_files,
                 "num_event_classes_folded": 4,
                 "num_prong_classes": cfg.num_prong_classes,
                 "hidden_dim": cfg.hidden_dim,
@@ -181,8 +232,10 @@ def export_model(
                     "combined": "pid outputs + embeddings outputs",
                 },
                 "calling_convention": (
-                    "pad prong maps to max_prongs rows, pass real count as "
-                    "num_prongs; read the first num_prongs output rows"
+                    "pick the smallest bucket P >= num_prongs from "
+                    "prong_buckets; pad prong maps to P rows ([1+P, C, H, W] "
+                    "input), pass the real count as num_prongs; read the "
+                    "first num_prongs output rows"
                 ),
             },
             f, indent=2,
@@ -198,7 +251,9 @@ def load_exported(path: str):
 
 
 def export_run_dir(run_dir: str, output_dir=None, checkpoint: str = "best",
-                   embedder: str = None) -> Dict[str, str]:
+                   embedder: str = None,
+                   prong_buckets: Sequence[int] | None = DEFAULT_PRONG_BUCKETS,
+                   ) -> Dict[str, str]:
     """The CreateCompiled flow: run dir -> three serialized graphs."""
     from .config import Options
     from .train import Trainer
@@ -223,7 +278,8 @@ def export_run_dir(run_dir: str, output_dir=None, checkpoint: str = "best",
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     output_dir = output_dir or os.path.join(run_dir, "export")
-    return export_model(trainer.model, variables, state.norm, output_dir)
+    return export_model(trainer.model, variables, state.norm, output_dir,
+                        prong_buckets=prong_buckets)
 
 
 def check_exported(path: str, max_prongs: int, channels: int,
@@ -259,11 +315,23 @@ def main():  # pragma: no cover
                              "run's recorded options.json value)")
     parser.add_argument("--check", action="store_true",
                         help="sanity-run each exported artifact")
+    parser.add_argument("--buckets", default=None,
+                        help="comma list of prong-capacity buckets (the full "
+                             "capacity is always added), or 'none' for the "
+                             f"single max_prongs graph; default "
+                             f"{','.join(map(str, DEFAULT_PRONG_BUCKETS))}")
     args = parser.parse_args()
     embedder = (
         "sparse" if args.sparse else "sdxl" if args.sdxl else args.embedder
     )  # None -> the run dir's recorded family
-    paths = export_run_dir(args.run_dir, args.output_dir, args.checkpoint, embedder)
+    if args.buckets is None:
+        buckets = DEFAULT_PRONG_BUCKETS
+    elif args.buckets.strip().lower() == "none":
+        buckets = ()
+    else:
+        buckets = tuple(int(p) for p in args.buckets.split(","))
+    paths = export_run_dir(args.run_dir, args.output_dir, args.checkpoint,
+                           embedder, prong_buckets=buckets)
     for variant, path in paths.items():
         print(f"{variant}: {path}")
 
@@ -277,10 +345,16 @@ def main():  # pragma: no cover
         with open(meta_path) as f:
             meta = _json.load(f)
         shape = meta["input_shape"]
-        for variant, path in paths.items():
-            print(f"checking {variant}:")
+        for key, path in paths.items():
+            # bucketed artifacts expect [1+P, C, H, W]; parse P off the key
+            capacity = (
+                int(key.rsplit("_p", 1)[1]) if "_p" in key
+                else meta["max_prongs"]
+            )
+            print(f"checking {key}:")
             check_exported(
-                path, meta["max_prongs"], shape[1], shape[2], shape[3]
+                path, capacity, shape[1], shape[2], shape[3],
+                num_prongs=min(3, capacity),
             )
 
 

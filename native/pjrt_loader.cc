@@ -11,23 +11,33 @@
 // exposes.
 //
 // Build:   make -C native pjrt_loader
-// Run:     ./pjrt_loader <plugin.so> <model.stablehlo.mlirbc> <meta.json>
+// Run:     ./pjrt_loader <plugin.so> <model> <meta.json>
 //              <pixels.bin> <num_prongs> <out.bin> [key=int:V|key=str:V ...]
 //
 //   plugin.so   a PJRT plugin exporting GetPjrtApi (libtpu.so, a CPU
 //               plugin, or this sandbox's tunnel plugin)
-//   meta.json   the `<prefix>_export_meta.json` written by export.py;
-//               the input geometry is read from its "input_shape"
-//   pixels.bin  raw float32 of shape input_shape (event map first, prong
-//               maps padded to max_prongs rows, raw 0-255 counts)
+//   model       either an explicit `*.stablehlo.mlirbc` artifact (input
+//               geometry = the meta's "input_shape"), or a variant prefix
+//               like `/dir/transformercvn_pid` — the loader then picks the
+//               smallest exported prong-capacity bucket P >= num_prongs
+//               from the meta's "prong_buckets" ladder and loads
+//               `<prefix>_pP.stablehlo.mlirbc` (the full capacity keeps
+//               the unsuffixed name), so serving cost scales with the real
+//               prong count instead of max_prongs (the static-shape
+//               replacement for CreateCompiled.ipynb's dynamic-Npng
+//               TorchScript graphs)
+//   meta.json   the `<prefix>_export_meta.json` written by export.py
+//   pixels.bin  raw float32 (event map first, prong maps padded to
+//               max_prongs rows, raw 0-255 counts); in bucket mode the
+//               loader feeds only the first 1+P rows to the device
 //   num_prongs  real prong count (the graph masks rows past it)
 //   out.bin     all outputs, each as: u32 rank, i64 dims[rank],
 //               u32 pjrt_dtype, raw bytes (little-endian host layout)
 //   key=...     optional PJRT_Client_Create options (plugin-specific)
 //
 // Exit 0 on success. tests/test_pjrt_loader.py builds this, runs the
-// exported `pid` graph on the TPU plugin, and checks the outputs match
-// the Python-side logits.
+// exported `pid` graph on the TPU plugin at two ladder capacities, and
+// checks the outputs match the Python-side logits.
 
 #include <cstdint>
 #include <cstdio>
@@ -66,12 +76,12 @@ static std::string ReadFile(const char* path) {
   return std::string(std::istreambuf_iterator<char>(file), {});
 }
 
-// Pull "input_shape": [a, b, c, d] out of the export metadata. A full
-// JSON parser is overkill for one fixed-layout key written by our own
-// exporter.
-static std::vector<int64_t> ParseInputShape(const std::string& json) {
+// Pull "key": [a, b, c, d] out of the export metadata. A full JSON
+// parser is overkill for fixed-layout keys written by our own exporter.
+static std::vector<int64_t> ParseIntArray(const std::string& json,
+                                          const char* key_name) {
   std::vector<int64_t> dims;
-  size_t key = json.find("\"input_shape\"");
+  size_t key = json.find(std::string("\"") + key_name + "\"");
   if (key == std::string::npos) return dims;
   size_t open = json.find('[', key);
   size_t close = json.find(']', open);
@@ -86,6 +96,11 @@ static std::vector<int64_t> ParseInputShape(const std::string& json) {
     p = next;
   }
   return dims;
+}
+
+static bool EndsWith(const std::string& s, const std::string& suffix) {
+  return s.size() >= suffix.size() &&
+         s.compare(s.size() - suffix.size(), suffix.size(), suffix) == 0;
 }
 
 // Minimal protobuf writer for the default xla.CompileOptionsProto:
@@ -115,11 +130,36 @@ int main(int argc, char** argv) {
     return 2;
   }
   const char* plugin_path = argv[1];
-  const char* artifact_path = argv[2];
+  const std::string model_spec = argv[2];
   const char* meta_path = argv[3];
   const char* pixels_path = argv[4];
   const int32_t num_prongs = static_cast<int32_t>(std::atoi(argv[5]));
   const char* out_path = argv[6];
+
+  // ---- resolve the artifact + input geometry from the metadata --------
+  const std::string meta = ReadFile(meta_path);
+  std::vector<int64_t> pixel_dims = ParseIntArray(meta, "input_shape");
+  if (pixel_dims.empty()) {
+    std::fprintf(stderr, "no \"input_shape\" in %s\n", meta_path);
+    return 2;
+  }
+  std::string artifact_path = model_spec;
+  if (!EndsWith(model_spec, ".mlirbc")) {
+    // Variant-prefix mode: pick the smallest exported prong-capacity
+    // bucket >= num_prongs (export.py `select_bucket`'s C++ mirror).
+    const std::vector<int64_t> buckets = ParseIntArray(meta, "prong_buckets");
+    const int64_t max_prongs = pixel_dims[0] - 1;
+    int64_t chosen = max_prongs;
+    for (int64_t b : buckets)  // ladder is written sorted ascending
+      if (b >= num_prongs && b < chosen) chosen = b;
+    artifact_path = model_spec +
+                    (chosen == max_prongs ? std::string("")
+                                          : "_p" + std::to_string(chosen)) +
+                    ".stablehlo.mlirbc";
+    pixel_dims[0] = 1 + chosen;
+    std::fprintf(stderr, "num_prongs %d -> bucket %lld (%s)\n", num_prongs,
+                 static_cast<long long>(chosen), artifact_path.c_str());
+  }
 
   // ---- load the backend plugin ---------------------------------------
   void* plugin = dlopen(plugin_path, RTLD_NOW | RTLD_LOCAL);
@@ -187,7 +227,7 @@ int main(int argc, char** argv) {
   PJRT_Client* client = create_args.client;
 
   // ---- compile the inner StableHLO portable artifact -----------------
-  const std::string artifact = ReadFile(artifact_path);
+  const std::string artifact = ReadFile(artifact_path.c_str());
   PJRT_Program program;
   std::memset(&program, 0, sizeof(program));
   program.struct_size = PJRT_Program_STRUCT_SIZE;
@@ -207,21 +247,17 @@ int main(int argc, char** argv) {
   compile_args.compile_options_size = compile_options.size();
   CHECK_PJRT(api->PJRT_Client_Compile(&compile_args), "PJRT_Client_Compile");
   PJRT_LoadedExecutable* executable = compile_args.executable;
-  std::fprintf(stderr, "compiled %s (%zu bytes) through %s\n", artifact_path,
-               artifact.size(), plugin_path);
+  std::fprintf(stderr, "compiled %s (%zu bytes) through %s\n",
+               artifact_path.c_str(), artifact.size(), plugin_path);
 
   // ---- host inputs ----------------------------------------------------
-  const std::string meta = ReadFile(meta_path);
-  const std::vector<int64_t> pixel_dims = ParseInputShape(meta);
-  if (pixel_dims.empty()) {
-    std::fprintf(stderr, "no \"input_shape\" in %s\n", meta_path);
-    return 2;
-  }
   int64_t pixel_count = 1;
   for (int64_t d : pixel_dims) pixel_count *= d;
   const std::string pixels = ReadFile(pixels_path);
-  if (pixels.size() != static_cast<size_t>(pixel_count) * sizeof(float)) {
-    std::fprintf(stderr, "%s holds %zu bytes, input_shape wants %lld floats\n",
+  // Callers always pad to max_prongs rows; a bucketed graph reads only
+  // the first 1+P rows, so the file may be larger than the graph input.
+  if (pixels.size() < static_cast<size_t>(pixel_count) * sizeof(float)) {
+    std::fprintf(stderr, "%s holds %zu bytes, input shape wants %lld floats\n",
                  pixels_path, pixels.size(),
                  static_cast<long long>(pixel_count));
     return 2;

@@ -11,9 +11,11 @@ from dune_transformercvn_tpu.config import Options
 from dune_transformercvn_tpu.export import (
     VARIANTS,
     _fold_event_probs,
+    _normalize_buckets,
     build_inference_fn,
     export_model,
     load_exported,
+    select_bucket,
 )
 from dune_transformercvn_tpu.models import ModelConfig, TransformerCVN
 
@@ -112,3 +114,45 @@ def test_export_round_trip(tiny_export_model, tmp_path):
     restored = loaded(pixels, n)
     for a, b in zip(direct, restored):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_bucket_selection_rules():
+    assert _normalize_buckets((4, 8, 12), 20) == (4, 8, 12, 20)
+    assert _normalize_buckets((8, 4, 8, 50), 20) == (4, 8, 20)  # clip + dedup
+    assert _normalize_buckets(None, 20) == (20,)
+    assert _normalize_buckets((4, 8), 8) == (4, 8)
+    assert select_bucket((4, 8, 20), 0) == 4
+    assert select_bucket((4, 8, 20), 4) == 4
+    assert select_bucket((4, 8, 20), 5) == 8
+    assert select_bucket((4, 8, 20), 20) == 20
+    assert select_bucket((4, 8), 13) == 8  # over-full event: largest bucket
+
+
+def test_bucketed_export_matches_full_graph(tiny_export_model, tmp_path):
+    """A small-capacity bucket graph must reproduce the full graph's
+    outputs for events that fit it (same checkpoint, fewer CNN passes —
+    the serving-cost ladder, CreateCompiled.ipynb cell 6 dynamic Npng)."""
+    model, variables, norm, pixels = tiny_export_model
+    paths = export_model(
+        model, variables, norm, str(tmp_path), prefix="tiny",
+        prong_buckets=(4, 8),
+    )
+    assert set(paths) == {v + s for v in VARIANTS for s in ("", "_p4", "_p8")}
+
+    import json
+    with open(tmp_path / "tiny_export_meta.json") as f:
+        meta = json.load(f)
+    assert meta["prong_buckets"] == [4, 8, 20]
+    assert meta["bucket_files"]["pid"]["4"] == "tiny_pid_p4.stablehlo"
+    assert meta["bucket_files"]["pid"]["20"] == "tiny_pid.stablehlo"
+
+    n = jnp.asarray(3, jnp.int32)
+    full = load_exported(paths["combined"])(pixels, n)
+    p4 = load_exported(paths["combined_p4"])(pixels[:5], n)
+    # event probs + hidden identical; prong outputs match on the real rows
+    np.testing.assert_allclose(np.asarray(full[0]), np.asarray(p4[0]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(full[2]), np.asarray(p4[2]), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(full[1][:3]), np.asarray(p4[1][:3]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(full[3][:3]), np.asarray(p4[3][:3]), atol=2e-4)

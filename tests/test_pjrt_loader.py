@@ -142,26 +142,41 @@ def tiny_fp32_model():
 
 
 def test_pjrt_loader_matches_python(tiny_fp32_model, tmp_path):
+    """Bucket-ladder C++ execution: the loader (variant-prefix mode) must
+    pick the smallest exported capacity >= num_prongs and match the
+    Python-side logits of that bucket's graph — num_prongs=3 dispatches to
+    the p4 artifact, num_prongs=5 to the full-capacity one."""
+    from dataclasses import replace
+
+    from dune_transformercvn_tpu.models import TransformerCVN as TCVN
+
     model, variables, norm, pixels = tiny_fp32_model
     loader = _build_loader()
 
-    # Export lowered for TPU with fp32 MXU passes baked in, so the
-    # device run is bit-comparable to the CPU reference numerics.
+    # Export a two-rung ladder lowered for TPU with fp32 MXU passes baked
+    # in, so the device run is bit-comparable to the CPU reference
+    # numerics.
+    p4_model = TCVN(replace(model.cfg, max_prongs=4))
     with jax.default_matmul_precision("highest"):
         paths = export_model(
             model, variables, norm, str(tmp_path), prefix="tiny",
-            platforms=("tpu",),
+            platforms=("tpu",), prong_buckets=(4,),
         )
-        reference = jax.jit(build_inference_fn(model, "pid"))(
+        ref_p4 = jax.jit(build_inference_fn(p4_model, "pid"))(
+            variables, norm, pixels[:5], jnp.asarray(3, jnp.int32)
+        )
+        ref_full = jax.jit(build_inference_fn(model, "pid"))(
             variables, norm, pixels, jnp.asarray(5, jnp.int32)
         )
-    artifact = paths["pid"] + ".mlirbc"
-    assert os.path.exists(artifact)
+    assert os.path.exists(paths["pid_p4"] + ".mlirbc")
+    assert os.path.exists(paths["pid"] + ".mlirbc")
     meta = os.path.join(str(tmp_path), "tiny_export_meta.json")
+    prefix = os.path.join(str(tmp_path), "tiny_pid")
 
+    # One padded-to-max pixels file serves every bucket (the loader feeds
+    # only the first 1+P rows to a bucketed graph).
     pixels_bin = os.path.join(str(tmp_path), "pixels.bin")
     np.asarray(pixels, np.float32).tofile(pixels_bin)
-    out_bin = os.path.join(str(tmp_path), "out.bin")
 
     env = dict(os.environ)
     env.update(
@@ -171,22 +186,36 @@ def test_pjrt_loader_matches_python(tiny_fp32_model, tmp_path):
         AXON_LOOPBACK_RELAY="1",
         TPU_WORKER_HOSTNAMES="localhost",
     )
-    result = subprocess.run(
-        [loader, AXON_PLUGIN, artifact, meta, pixels_bin, "5", out_bin]
-        + _axon_options(f"pjrt-loader-test-{uuid.uuid4()}"),
-        env=env, capture_output=True, text=True, timeout=900,
-    )
-    assert result.returncode == 0, (
-        f"pjrt_loader failed\nstdout: {result.stdout}\nstderr: {result.stderr}"
-    )
 
-    outputs = _read_outputs(out_bin)
-    assert len(outputs) == len(reference)
-    for i, ((dims, dtype, got), want) in enumerate(zip(outputs, reference)):
-        want = np.asarray(want)
-        assert dims == want.shape, f"output {i}: {dims} != {want.shape}"
-        assert dtype == PJRT_TYPE_F32
-        np.testing.assert_allclose(
-            got, want, atol=5e-5, rtol=1e-4,
-            err_msg=f"output {i} diverges between C++ TPU and Python CPU",
+    for num_prongs, expect_artifact, reference in (
+        (3, "tiny_pid_p4.stablehlo.mlirbc", ref_p4),
+        (5, "tiny_pid.stablehlo.mlirbc", ref_full),
+    ):
+        out_bin = os.path.join(str(tmp_path), f"out_{num_prongs}.bin")
+        result = subprocess.run(
+            [loader, AXON_PLUGIN, prefix, meta, pixels_bin,
+             str(num_prongs), out_bin]
+            + _axon_options(f"pjrt-loader-test-{uuid.uuid4()}"),
+            env=env, capture_output=True, text=True, timeout=900,
         )
+        assert result.returncode == 0, (
+            f"pjrt_loader failed\nstdout: {result.stdout}\n"
+            f"stderr: {result.stderr}"
+        )
+        assert f"({os.path.join(str(tmp_path), expect_artifact)})" in result.stderr, (
+            f"wrong bucket for num_prongs={num_prongs}:\n{result.stderr}"
+        )
+
+        outputs = _read_outputs(out_bin)
+        assert len(outputs) == len(reference)
+        for i, ((dims, dtype, got), want) in enumerate(zip(outputs, reference)):
+            want = np.asarray(want)
+            assert dims == want.shape, f"output {i}: {dims} != {want.shape}"
+            assert dtype == PJRT_TYPE_F32
+            np.testing.assert_allclose(
+                got, want, atol=5e-5, rtol=1e-4,
+                err_msg=(
+                    f"output {i} (num_prongs={num_prongs}) diverges "
+                    "between C++ TPU and Python CPU"
+                ),
+            )
