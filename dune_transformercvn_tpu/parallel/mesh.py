@@ -68,6 +68,14 @@ def create_mesh(
             raise ValueError(
                 f"model_parallel={mp} does not divide the {len(devices)}-device mesh"
             )
+        # Keep each TP group on one host: sort by (process, id) so a row of
+        # ``mp`` adjacent devices shares a host whenever mp divides the
+        # per-host device count.  TP collectives then ride the intra-host
+        # ICI links, and host-local input feeding stays valid (a data shard
+        # = a whole TP row on one process).  Cross-host TP (a row spanning
+        # processes) is deliberately not built: on real pods DCN latency
+        # makes per-layer TP collectives across hosts a losing layout.
+        devices = sorted(devices, key=lambda d: (d.process_index, d.id))
         grid = np.asarray(devices).reshape(len(devices) // mp, mp)
         return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
     return Mesh(np.asarray(devices), (DATA_AXIS,))
@@ -81,6 +89,23 @@ def data_axis_size(mesh: Mesh) -> int:
 def is_hybrid(mesh: Mesh) -> bool:
     """True when the mesh carries a tensor-parallel "model" axis."""
     return MODEL_AXIS in mesh.axis_names
+
+
+def tp_rows_process_local(mesh: Mesh) -> bool:
+    """True when every TP group (mesh row) lives wholly on one process.
+
+    This is the invariant the multi-host loop relies on: a data shard is a
+    whole TP row, so host-local batch assembly/feeding is only correct when
+    each row's devices share a ``process_index``.  :func:`create_mesh`
+    arranges this whenever ``model_parallel`` divides the per-host device
+    count; the Trainer verifies it instead of assuming.
+    """
+    if not is_hybrid(mesh):
+        return True
+    rows = mesh.devices.reshape(mesh.devices.shape[0], -1)
+    return all(
+        len({d.process_index for d in row}) == 1 for row in rows
+    )
 
 
 def state_shardings(state, mesh: Mesh, min_shard_dim: int = 8):

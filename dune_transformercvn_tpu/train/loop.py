@@ -33,6 +33,7 @@ from ..parallel.mesh import (
     replicated_sharding,
     stacked_batch_sharding,
     state_shardings,
+    tp_rows_process_local,
 )
 from ..utils.cache import enable_compile_cache, enable_fast_prng
 from ..utils.rundir import create_run_dir
@@ -100,12 +101,17 @@ class Trainer:
         # master guards (train.py:40, SURVEY §2.3).
         self.process_index = jax.process_index()
         self.multi_process = jax.process_count() > 1
-        if self.multi_process and is_hybrid(self.mesh):
+        if self.multi_process and not tp_rows_process_local(self.mesh):
             # Host-local feeding (local_batch_rows) assumes shard s lives
-            # wholly on one process's devices; a TP group spanning hosts
-            # needs per-axis placement this loop does not implement yet.
-            raise NotImplementedError(
-                "model_parallel > 1 is single-process only for now"
+            # wholly on one process's devices.  create_mesh keeps TP groups
+            # host-local whenever model_parallel divides the per-host device
+            # count; a layout where a TP row spans hosts would put per-layer
+            # TP collectives on DCN — reject it rather than run it badly.
+            raise ValueError(
+                f"model_parallel={options.model_parallel} does not divide "
+                f"the per-host device count ({jax.local_device_count()}): a "
+                "TP group would span hosts. Use a model_parallel that fits "
+                "within one host; data parallelism spans hosts."
             )
         self._local_shards = local_shard_ids(self.mesh)
 

@@ -51,7 +51,8 @@ def main():
 
     options = Options.load(options_path)
     trainer = Trainer(options, debug=True, verbose=False)
-    assert trainer.multi_process and trainer.num_shards == 8
+    mp = max(1, int(options.model_parallel))
+    assert trainer.multi_process and trainer.num_shards == 8 // mp
 
     # Host-local assembly (Batcher local_shards): this host's batches must
     # be BIT-equal to the local slice of a full-assembly batch — the

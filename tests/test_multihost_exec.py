@@ -9,8 +9,10 @@ metrics, and ``predict_split``'s ``process_allgather`` — and asserts the
 (identical mesh, identical deterministic batches; only collective op
 ordering may differ).
 
-The reference analog is DDP multi-node training (reference train.py:40,
-123-127), which Lightning tests only implicitly.
+Two topologies run: pure DP8 (the reference's DDP analog, train.py:40,
+123-127) and hybrid DP4xTP2 with host-local TP groups — each process owns
+two whole TP rows, so the same host-local feeding path serves both (the
+multi-host tensor-parallel configuration PARITY §2.3 claims).
 """
 
 import json
@@ -47,7 +49,7 @@ def _options_dict(path):
         "training_file": path,
         "event_current_targets": True,
         "train_validation_split": 0.75,
-        "batch_size": 2,               # per-device -> global batch 16
+        "batch_size": 2,               # per-device -> global batch 16 (DP8)
         "num_gpu": 8,
         "epochs": 2,
         "optimizer": "AdamW",
@@ -62,19 +64,14 @@ def _options_dict(path):
     }
 
 
-def test_two_process_run_matches_single_process(tmp_path):
-    from dune_transformercvn_tpu.data.schema import make_synthetic_file
-
-    data = str(tmp_path / "mh.h5")
-    make_synthetic_file(data, num_events=64, mean_hits_per_image=40.0, seed=5)
-    options_path = str(tmp_path / "options.json")
+def _run_two_process(tmp_path, options, tag):
+    """Launch the 2x4-device distributed run; return its result record."""
+    options_path = str(tmp_path / f"options_{tag}.json")
     with open(options_path, "w") as f:
-        json.dump(_options_dict(data), f)
-
-    # ---- 2-process distributed run ----------------------------------------
+        json.dump(options, f)
     port = _free_port()
     coordinator = f"localhost:{port}"
-    out_path = str(tmp_path / "mh_out.json")
+    out_path = str(tmp_path / f"mh_out_{tag}.json")
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)        # worker sets its own 4-device flag
     env["JAX_PLATFORMS"] = "cpu"
@@ -91,7 +88,7 @@ def test_two_process_run_matches_single_process(tmp_path):
     outputs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -100,16 +97,18 @@ def test_two_process_run_matches_single_process(tmp_path):
     for p, out in zip(procs, outputs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
     with open(out_path) as f:
-        multi = json.load(f)
+        return json.load(f), options_path
 
-    # ---- single-process 8-device run (same mesh, same batches) ------------
+
+def _single_process_reference(options_path, dp_shards):
+    """Run the identical trajectory on a single-process 8-device mesh."""
     from dune_transformercvn_tpu.config import Options
     from dune_transformercvn_tpu.train.loop import Trainer
     import jax
 
     options = Options.load(options_path)
     trainer = Trainer(options, debug=True, verbose=False)
-    assert not trainer.multi_process and trainer.num_shards == 8
+    assert not trainer.multi_process and trainer.num_shards == dp_shards
 
     losses = []
     state = trainer.state
@@ -122,6 +121,11 @@ def test_two_process_run_matches_single_process(tmp_path):
     trainer.state = state
     val = trainer.validate()
     pred = trainer.predict_split("validation")
+    return trainer, state, losses, val, pred
+
+
+def _compare(multi, state, losses, val, pred):
+    import jax
 
     np.testing.assert_allclose(losses, multi["losses"], rtol=1e-5, atol=1e-7)
     stats_l1 = float(
@@ -166,3 +170,36 @@ def test_two_process_run_matches_single_process(tmp_path):
         float(pred["prong_probabilities"].sum()),
         multi["prong_scores_sum"], rtol=1e-3,
     )
+
+
+def test_two_process_run_matches_single_process(tmp_path):
+    from dune_transformercvn_tpu.data.schema import make_synthetic_file
+
+    data = str(tmp_path / "mh.h5")
+    make_synthetic_file(data, num_events=64, mean_hits_per_image=40.0, seed=5)
+    multi, options_path = _run_two_process(
+        tmp_path, _options_dict(data), tag="dp8"
+    )
+    _, state, losses, val, pred = _single_process_reference(
+        options_path, dp_shards=8
+    )
+    _compare(multi, state, losses, val, pred)
+
+
+def test_two_process_hybrid_tp_matches_single_process(tmp_path):
+    """DP4xTP2 across 2 processes: each process hosts two whole TP rows
+    (create_mesh's host-local TP grouping), so host-local feeding serves the
+    hybrid mesh unchanged while GSPMD partitions the channel-sharded params
+    within each host."""
+    from dune_transformercvn_tpu.data.schema import make_synthetic_file
+
+    data = str(tmp_path / "mh_tp.h5")
+    make_synthetic_file(data, num_events=64, mean_hits_per_image=40.0, seed=5)
+    options = _options_dict(data)
+    options["model_parallel"] = 2
+    options["batch_size"] = 4      # per-shard -> global batch 16 (DP4)
+    multi, options_path = _run_two_process(tmp_path, options, tag="dp4tp2")
+    _, state, losses, val, pred = _single_process_reference(
+        options_path, dp_shards=4
+    )
+    _compare(multi, state, losses, val, pred)
