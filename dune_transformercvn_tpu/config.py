@@ -223,6 +223,13 @@ class Options:
         # encodes this in the trainer subclass instead).
         self.embedder: str = "dense"
 
+        # Fold eval-time BatchNorm affines into adjacent conv weights on the
+        # inference/export paths (ops/fold.py): removes the BN normalize
+        # read/write passes the profiling shows the HBM-bound deployed step
+        # spends ~1/3 of its time in.  Logits preserved to reassociation
+        # rounding; training/validation graphs are untouched.
+        self.fold_eval_bn: bool = True
+
         # Rematerialize CNN bottlenecks in backward (jax.checkpoint): ~1/3
         # more FLOPs for O(depth) less activation memory (larger batches).
         self.remat_cnn: bool = False

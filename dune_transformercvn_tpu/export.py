@@ -277,6 +277,13 @@ def export_run_dir(run_dir: str, output_dir=None, checkpoint: str = "best",
     state = mgr.restore(jax.device_get(trainer.state), step)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if getattr(options, "fold_eval_bn", True):
+        # Serving graphs skip the conv->BN normalize passes entirely
+        # (ops/fold.py; values-only, logits preserved to rounding)
+        from .ops.fold import count_foldable, fold_eval_batchnorm
+
+        if count_foldable(variables["params"]):
+            variables = jax.jit(lambda v: fold_eval_batchnorm(v)[0])(variables)
     output_dir = output_dir or os.path.join(run_dir, "export")
     return export_model(trainer.model, variables, state.norm, output_dir,
                         prong_buckets=prong_buckets)

@@ -79,6 +79,17 @@ def _is_densenet_scope(scope_params) -> bool:
     )
 
 
+def count_foldable(params) -> int:
+    """Number of conv->BN adjacencies :func:`fold_eval_batchnorm` would fold
+    — pure tree-structure inspection (no tracing), so callers can gate the
+    jitted fold without relying on trace-time side effects."""
+    count = 0
+    for scope in ("event_pixel_embedding", "prong_pixel_embedding"):
+        if scope in params and _is_densenet_scope(params[scope]):
+            count += len(_embedder_pairs(params[scope]))
+    return count
+
+
 def fold_eval_batchnorm(variables) -> Tuple[Dict, int]:
     """Fold every conv->BN adjacency in the DenseNet-family embedders.
 

@@ -380,6 +380,27 @@ class Trainer:
             totals = self.eval_step(self.state, batch, totals)
         return finalize_metrics(jax.device_get(totals))
 
+    def _inference_state(self):
+        """State for pure-inference paths: eval-time BN folding applied once
+        (``options.fold_eval_bn``, ops/fold.py).  Values-only — the pytree
+        and shapes are unchanged, so the jitted predict step re-uses its
+        compiled executable.  Training/validation keep the raw state (their
+        BN statistics must keep updating / match the reference trajectory).
+        """
+        if not getattr(self.options, "fold_eval_bn", True):
+            return self.state
+        from ..ops.fold import count_foldable, fold_eval_batchnorm
+
+        if count_foldable(self.state.params) == 0:
+            return self.state
+        folded = jax.jit(lambda v: fold_eval_batchnorm(v)[0])(
+            {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        )
+        state = self.state.replace(
+            params=folded["params"], batch_stats=folded["batch_stats"]
+        )
+        return jax.device_put(state, self.state_sharding)
+
     def predict_split(self, split: str = "validation"):
         """Batched inference over a split (the Evaluate.ipynb cell-14 loop).
 
@@ -416,13 +437,14 @@ class Trainer:
                 multihost_utils.process_allgather(outputs, tiled=True)
             )
 
+        state = self._inference_state()  # BN-folded serving weights
         ev_probs, ev_targets = [], []
         pr_probs, pr_targets, pr_event = [], [], []
         seen = 0
         for batch in batcher.prefetch_epoch(0, num_workers=self.num_workers):
             probs_e, probs_p = fetch(
                 self.predict_step(
-                    self.state,
+                    state,
                     self._device_batch(batch, assembled_local=False),
                 )
             )

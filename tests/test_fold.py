@@ -97,6 +97,41 @@ def test_fold_preserves_eval_logits(tiny_setup, embedder):
     np.testing.assert_array_equal(np.asarray(fold_bs["mean"]), 0.0)
 
 
+def test_inference_state_wiring(tmp_path):
+    """Trainer._inference_state serves folded weights (and the option
+    gates it): the serving path actually runs what ops/fold.py promises."""
+    from dune_transformercvn_tpu.train.loop import Trainer
+
+    path = str(tmp_path / "wire.h5")
+    make_synthetic_file(path, num_events=16, seed=11)
+    o = _tiny_options()
+    o.training_file = path
+    o.event_current_targets = True
+    o.train_validation_split = 0.6
+    o.num_gpu = 1
+    o.batch_size = 4
+    o.dropout = 0.0
+    o.pixel_noise_std = 0.0
+
+    trainer = Trainer(o, run_dir=None, debug=True, verbose=False)
+    folded = trainer._inference_state()
+    raw_k = np.asarray(
+        trainer.state.params["event_pixel_embedding"]["Conv_0"]["kernel"])
+    fold_k = np.asarray(
+        folded.params["event_pixel_embedding"]["Conv_0"]["kernel"])
+    # fresh init: BN scale=1/var=1 -> a = rsqrt(1+eps) != 1, so the folded
+    # stem kernel must differ, and the BN must be the canonical identity
+    assert not np.array_equal(raw_k, fold_k)
+    bn = folded.batch_stats["event_pixel_embedding"]["MaskedBatchNorm_0"]
+    np.testing.assert_array_equal(np.asarray(bn["mean"]), 0.0)
+
+    o.fold_eval_bn = False
+    assert trainer._inference_state() is trainer.state or np.array_equal(
+        np.asarray(trainer._inference_state().params
+                   ["event_pixel_embedding"]["Conv_0"]["kernel"]), raw_k
+    )
+
+
 def test_fold_non_densenet_family_is_noop(tiny_setup):
     ds, batch, norm = tiny_setup
     o = _tiny_options()

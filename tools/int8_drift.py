@@ -71,6 +71,16 @@ def main():
     variables = jax.jit(lambda r, b, n: model.init(r, b, n, train=False))(
         jax.random.PRNGKey(0), calib[0], norm
     )
+    fold = "--fold" in sys.argv
+    if fold:
+        # Re-judge int8 on the BN-folded serving graph (ops/fold.py): once
+        # the BN elementwise bytes are gone, the conv MXU time int8 halves
+        # becomes the binding term — the round-3 analysis predicted the
+        # int8 verdict flips only in this regime.
+        from dune_transformercvn_tpu.ops.fold import fold_eval_batchnorm
+
+        variables = jax.jit(lambda v: fold_eval_batchnorm(v)[0])(variables)
+        print("# measuring on the BN-FOLDED graph", file=sys.stderr, flush=True)
 
     scales = calibrate_activation_scales(model, variables, calib, norm)
     print(f"# calibrated {len(scales)} conv activation scales on "
@@ -88,9 +98,11 @@ def main():
         return jax.nn.softmax(ev, -1), jax.nn.softmax(pr, -1)
 
     # ---- drift on the timed (held-out) batches -----------------------------
-    record = {"bench": "int8_drift", "device": str(jax.devices()[0]),
+    record = {"bench": "int8_drift_folded" if fold else "int8_drift",
+              "device": str(jax.devices()[0]),
               "config": "production fdhd (hidden 128, [3,6,12,6,3], 6 layers)",
-              "batch": BATCH, "num_conv_scales": len(scales)}
+              "batch": BATCH, "num_conv_scales": len(scales),
+              "bn_folded": fold}
     ev_all, pr_all, evq_all, prq_all, w_all = [], [], [], [], []
     for b in timed:
         ev, pr = jax.device_get(predict(variables, b, norm))
@@ -132,7 +144,8 @@ def main():
           file=sys.stderr, flush=True)
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "artifacts", "int8_drift_v5e.json",
+        "artifacts",
+        "int8_drift_folded_v5e.json" if fold else "int8_drift_v5e.json",
     )
     with open(out, "w") as f:
         json.dump(record, f, indent=1)
