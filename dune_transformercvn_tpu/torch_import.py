@@ -142,6 +142,45 @@ def map_encoder_layer(sd, ref_prefix, params, hidden_dim, heads):
     params["LayerNorm_1"]["bias"] = t2n(sd[f"{ref_prefix}.norm2.bias"])
 
 
+def sequential_linear_blocks(sd, prefix):
+    """Group a reference ``nn.Sequential`` of ``create_linear_block`` output
+    (encoder.py:10-24: Linear, optional BatchNorm1d, PReLU-or-ReLU, optional
+    Dropout) into ``(linear_idx, bn_idx_or_None, prelu_idx_or_None)`` tuples.
+
+    Module indices shift with the option toggles — ``dropout > 0`` inserts a
+    parameter-free module per block, ``linear_prelu_activation=0`` swaps the
+    parameterized PReLU for a parameter-free ReLU — so a fixed index stride
+    mis-parses real checkpoints (the production option file trains with
+    dropout 0.1).  Instead, classify by the parameters actually present:
+    a 2-D ``.weight`` starts a block (Linear), a ``.running_mean`` is its
+    BatchNorm, a 1-D ``.weight`` without running stats is its PReLU.
+    """
+    indices = sorted({
+        int(key[len(prefix) + 1:].split(".")[0])
+        for key in sd.keys()
+        if key.startswith(prefix + ".")
+    })
+    blocks = []
+    for idx in indices:
+        if f"{prefix}.{idx}.running_mean" in sd:
+            if not blocks or blocks[-1][1] is not None:
+                raise KeyError(
+                    f"unexpected BatchNorm at {prefix}.{idx} with no "
+                    "preceding Linear"
+                )
+            blocks[-1][1] = idx
+        elif sd[f"{prefix}.{idx}.weight"].ndim == 2:
+            blocks.append([idx, None, None])
+        else:  # 1-D weight, no running stats: PReLU alpha
+            if not blocks or blocks[-1][2] is not None:
+                raise KeyError(
+                    f"unexpected PReLU at {prefix}.{idx} with no "
+                    "preceding Linear"
+                )
+            blocks[-1][2] = idx
+    return [tuple(b) for b in blocks]
+
+
 def map_feature_embedding(sd, ref_prefix, params, stats):
     """ProngFeatureEmbedding's LinearBlock stack (prong_feature_embedding.py:
     36-79) -> our ``FeatureEmbedding`` (models/blocks.py): block ``i`` is
@@ -218,11 +257,18 @@ def transplant_dense_network(sd, params, stats, heads: int) -> None:
     ce = params["combined_embedding"]
     ce["Dense_0"]["kernel"] = t2n(
         sd["prong_embedding.combined_embedding.linear.weight"]).T
+    if "prong_embedding.combined_embedding.linear.bias" in sd:
+        ce["Dense_0"]["bias"] = t2n(
+            sd["prong_embedding.combined_embedding.linear.bias"])
     set_bn(ce["MaskedBatchNorm_0"],
            stats["combined_embedding"]["MaskedBatchNorm_0"],
            sd, "prong_embedding.combined_embedding.norm")
-    ce["PReLU_0"]["alpha"] = t2n(
-        sd["prong_embedding.combined_embedding.activation.weight"])
+    # LinearBlock's activation is PReLU (learned alpha) or a parameter-free
+    # ReLU depending on options.linear_prelu_activation
+    # (prong_feature_embedding.py:18-21)
+    if "prong_embedding.combined_embedding.activation.weight" in sd:
+        ce["PReLU_0"]["alpha"] = t2n(
+            sd["prong_embedding.combined_embedding.activation.weight"])
 
     # the reference creates feature-embedding parameters even when smart
     # features are disabled (neutrino_full_base_network.py:55, module path
@@ -249,20 +295,21 @@ def transplant_dense_network(sd, params, stats, heads: int) -> None:
 
     pd = params["prong_decoder"]
     pd_stats = stats["prong_decoder"]
-    i = 0
-    while f"prong_decoder.hidden_layers.{3 * i}.weight" in sd:
-        lin, bn, act = 3 * i, 3 * i + 1, 3 * i + 2
+    for i, (lin, bn, act) in enumerate(
+        sequential_linear_blocks(sd, "prong_decoder.hidden_layers")
+    ):
         block = pd[f"LinearBlock_{i}"]
         block["Dense_0"]["kernel"] = t2n(
             sd[f"prong_decoder.hidden_layers.{lin}.weight"]).T
         block["Dense_0"]["bias"] = t2n(
             sd[f"prong_decoder.hidden_layers.{lin}.bias"])
-        set_bn(block["MaskedBatchNorm_0"],
-               pd_stats[f"LinearBlock_{i}"]["MaskedBatchNorm_0"],
-               sd, f"prong_decoder.hidden_layers.{bn}")
-        block["PReLU_0"]["alpha"] = t2n(
-            sd[f"prong_decoder.hidden_layers.{act}.weight"])
-        i += 1
+        if bn is not None:
+            set_bn(block["MaskedBatchNorm_0"],
+                   pd_stats[f"LinearBlock_{i}"]["MaskedBatchNorm_0"],
+                   sd, f"prong_decoder.hidden_layers.{bn}")
+        if act is not None:
+            block["PReLU_0"]["alpha"] = t2n(
+                sd[f"prong_decoder.hidden_layers.{act}.weight"])
     pd["Dense_0"]["kernel"] = t2n(sd["prong_decoder.output_layer.weight"]).T
     pd["Dense_0"]["bias"] = t2n(sd["prong_decoder.output_layer.bias"])
 

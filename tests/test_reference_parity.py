@@ -67,11 +67,13 @@ from dune_transformercvn_tpu.torch_import import (  # noqa: F401
 )
 
 
-def reference_inputs(ds, B):
+def reference_inputs(ds, B, log_pixels=False):
     """Replicate the reference trainer's host preprocessing on the first B
     dataset events: mask-normalized features, normalized extra, densified
     NCHW event/prong images with packed prong slots in row-major (event,
-    position) order.  Reused by tests/test_torch_import.py."""
+    position) order.  ``log_pixels`` applies the trainer's log(1+v) pixel
+    scaling instead of v/255 (neutrino_full_dense_trainer.py:54-58).
+    Reused by tests/test_torch_import.py."""
     raw = ds.gather_events(np.arange(B))
     mask = torch.from_numpy(raw["prong_mask"])
     features = torch.from_numpy(raw["features"]).clone()
@@ -86,7 +88,9 @@ def reference_inputs(ds, B):
         out = torch.zeros(num_images, H, W, C)
         idx = (torch.from_numpy(owner), torch.from_numpy(coords_xy[:, 0]),
                torch.from_numpy(coords_xy[:, 1]))
-        out.index_put_(idx, torch.from_numpy(values) / 255.0, accumulate=True)
+        v = torch.from_numpy(np.asarray(values, np.float32))
+        v = torch.log1p(v) if log_pixels else v / 255.0
+        out.index_put_(idx, v, accumulate=True)
         return out.permute(0, 3, 1, 2).contiguous()
 
     event_pixels = densify(raw["event_coords"][:, 1:], raw["event_values"],

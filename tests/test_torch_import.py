@@ -46,13 +46,15 @@ from test_reference_parity import (  # noqa: E402  (same-dir test helpers)
 GLOBAL_STEP = 7
 
 
-def _build_reference(common, seed=0):
+def _build_reference(common, seed=0, num_event_classes=4, num_prong_classes=8):
     NeutrinoDenseNetwork, RefOptions = _import_reference_network()
     ref_options = RefOptions()
     for key, value in common.items():
         setattr(ref_options, key, value)
     torch.manual_seed(seed)
-    ref_net = NeutrinoDenseNetwork(ref_options, 6, 4, 3, 8, 4).eval()
+    ref_net = NeutrinoDenseNetwork(
+        ref_options, 6, 4, 3, num_prong_classes, num_event_classes
+    ).eval()
     with torch.no_grad():  # trained-looking BN running stats
         for module in ref_net.modules():
             if isinstance(module, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
@@ -73,32 +75,55 @@ def _save_lightning_ckpt(ref_net, ds, path):
     torch.save({"state_dict": sd, "global_step": GLOBAL_STEP, "epoch": 1}, path)
 
 
-def _options(common, training_file):
+def _options(common, training_file, event_current_targets=True):
     options = Options()
     for key, value in common.items():
         setattr(options, key, value)
     options.compute_dtype = "float32"
     options.training_file = training_file
-    options.event_current_targets = True   # the 4-class head the ckpt carries
+    options.event_current_targets = event_current_targets
     options.train_validation_split = 0.6
     options.num_gpu = 1
     options.batch_size = 4
     return options
 
 
-def test_import_reference_checkpoint_end_to_end(tmp_path):
-    common = dict(_tiny_common(False), disable_smart_features=False)
+# The option axes the reference actually varies (reference options.py:21-77):
+# pre-norm transformer layers, log(1+v) pixel scaling, parameter-free ReLU
+# linear blocks (linear_prelu_activation=0), the raw 10-class head (no
+# event_current_targets 10->4 remap), and dropout>0 (which shifts the
+# prong decoder's nn.Sequential module indices in the checkpoint — the
+# layout the PRODUCTION option file trains with).
+IMPORT_VARIANTS = {
+    "base": {},
+    "norm_first": {"transformer_norm_first": True},
+    "log_pixels": {"log_pixels": True},
+    "relu": {"linear_prelu_activation": False},
+    "dropout": {"dropout": 0.1},
+    "ten_class": {},  # event_current_targets=False below
+}
+
+
+@pytest.mark.parametrize("variant", sorted(IMPORT_VARIANTS))
+def test_import_reference_checkpoint_end_to_end(tmp_path, variant):
+    toggles = IMPORT_VARIANTS[variant]
+    current = variant != "ten_class"
+    common = dict(_tiny_common(False), disable_smart_features=False, **toggles)
 
     data = str(tmp_path / "import.h5")
     make_synthetic_file(data, num_events=16, num_features=6, num_extra=4, seed=3)
-    ds = EventDataset(data, event_current_targets=True)
+    ds = EventDataset(data, event_current_targets=current)
     ds.compute_statistics()
 
-    ref_net = _build_reference(common)
+    ref_net = _build_reference(
+        common,
+        num_event_classes=ds.num_event_classes,
+        num_prong_classes=ds.num_prong_classes,
+    )
     ckpt_path = str(tmp_path / "ref.ckpt")
     _save_lightning_ckpt(ref_net, ds, ckpt_path)
 
-    options = _options(common, data)
+    options = _options(common, data, event_current_targets=current)
     out_dir = str(tmp_path / "imported" / "version_0")
     import_reference_checkpoint(ckpt_path, options, out_dir, verbose=False)
     assert os.path.exists(os.path.join(out_dir, "options.json"))
@@ -137,7 +162,9 @@ def test_import_reference_checkpoint_end_to_end(tmp_path):
         {k: jnp.asarray(v) for k, v in restored.norm.items()},
     )
 
-    ref_inputs = reference_inputs(ds, B)
+    ref_inputs = reference_inputs(
+        ds, B, log_pixels=common.get("log_pixels", False)
+    )
     with torch.no_grad():
         ref_ev, ref_pr = ref_net(*ref_inputs)
 
@@ -164,6 +191,31 @@ def test_import_rejects_architecture_mismatch(tmp_path):
     _save_lightning_ckpt(ref_net, ds, ckpt_path)
 
     options = _options(common, data)  # options say 2 encoder layers
+    with pytest.raises((KeyError, ValueError)):
+        import_reference_checkpoint(
+            ckpt_path, options, str(tmp_path / "imported"), verbose=False
+        )
+
+
+def test_import_rejects_activation_mismatch(tmp_path):
+    """A ReLU-trained checkpoint (linear_prelu_activation=0) loaded under a
+    PReLU option file leaves PReLU alphas unfilled — must reject loudly,
+    never evaluate default-initialized activations."""
+    common = _tiny_common(False)
+    data = str(tmp_path / "actmismatch.h5")
+    make_synthetic_file(data, num_events=16, num_features=6, num_extra=4, seed=3)
+    ds = EventDataset(data, event_current_targets=True)
+    ds.compute_statistics()
+
+    ref_net = _build_reference(
+        dict(common, linear_prelu_activation=False),
+        num_event_classes=ds.num_event_classes,
+        num_prong_classes=ds.num_prong_classes,
+    )
+    ckpt_path = str(tmp_path / "ref.ckpt")
+    _save_lightning_ckpt(ref_net, ds, ckpt_path)
+
+    options = _options(common, data)  # options say PReLU
     with pytest.raises((KeyError, ValueError)):
         import_reference_checkpoint(
             ckpt_path, options, str(tmp_path / "imported"), verbose=False
