@@ -274,11 +274,6 @@ def main():
     variables = jax.jit(lambda r, b, n: model.init(r, b, n, train=False))(
         jax.random.PRNGKey(0), batches[0], norm
     )
-    # the deployed inference path serves BN-folded weights (ops/fold.py,
-    # Trainer._inference_state) — measure what serving runs
-    from dune_transformercvn_tpu.ops.fold import fold_eval_batchnorm
-
-    variables = jax.jit(lambda v: fold_eval_batchnorm(v)[0])(variables)
 
     @jax.jit
     def predict(variables, batch, norm):

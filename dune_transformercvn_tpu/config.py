@@ -224,11 +224,16 @@ class Options:
         self.embedder: str = "dense"
 
         # Fold eval-time BatchNorm affines into adjacent conv weights on the
-        # inference/export paths (ops/fold.py): removes the BN normalize
-        # read/write passes the profiling shows the HBM-bound deployed step
-        # spends ~1/3 of its time in.  Logits preserved to reassociation
-        # rounding; training/validation graphs are untouched.
-        self.fold_eval_bn: bool = True
+        # inference/export paths (ops/fold.py).  Measured NEUTRAL on chip
+        # (artifacts/bn_fold_v5e.json: 1.00x at b16 and b64) — profiling the
+        # inference step shows XLA already fuses the eval BN affine + PReLU
+        # into the convolution fusions (loop fusions are 0.3% of the eval
+        # step), so there is no separate normalize pass to remove; the
+        # "BN/PReLU chains at the HBM roofline" picture came from TRAIN-mode
+        # profiles, where the statistics passes are real.  Off by default;
+        # the capability stays tested (tests/test_fold.py) for backends
+        # whose compilers do not fuse the affine.
+        self.fold_eval_bn: bool = False
 
         # Rematerialize CNN bottlenecks in backward (jax.checkpoint): ~1/3
         # more FLOPs for O(depth) less activation memory (larger batches).

@@ -277,7 +277,7 @@ def export_run_dir(run_dir: str, output_dir=None, checkpoint: str = "best",
     state = mgr.restore(jax.device_get(trainer.state), step)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    if getattr(options, "fold_eval_bn", True):
+    if getattr(options, "fold_eval_bn", False):
         # Serving graphs skip the conv->BN normalize passes entirely
         # (ops/fold.py; values-only, logits preserved to rounding)
         from .ops.fold import count_foldable, fold_eval_batchnorm

@@ -387,7 +387,7 @@ class Trainer:
         compiled executable.  Training/validation keep the raw state (their
         BN statistics must keep updating / match the reference trajectory).
         """
-        if not getattr(self.options, "fold_eval_bn", True):
+        if not getattr(self.options, "fold_eval_bn", False):
             return self.state
         from ..ops.fold import count_foldable, fold_eval_batchnorm
 

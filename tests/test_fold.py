@@ -112,6 +112,7 @@ def test_inference_state_wiring(tmp_path):
     o.batch_size = 4
     o.dropout = 0.0
     o.pixel_noise_std = 0.0
+    o.fold_eval_bn = True   # capability opt-in (measured neutral on v5e)
 
     trainer = Trainer(o, run_dir=None, debug=True, verbose=False)
     folded = trainer._inference_state()

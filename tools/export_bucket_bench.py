@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Measure per-event serving cost across the exported prong-capacity ladder.
+
+The reference's TorchScript wrappers are dynamic in Npng, so a 3-prong
+event pays 4 CNN passes in LArSoft (CreateCompiled.ipynb cell 6).  Our
+static-shape answer is the bucket ladder (export.py): the caller picks the
+smallest capacity P >= Npng.  This tool times the single-event inference
+graph (build_inference_fn — the exact computation the exported StableHLO
+serializes) at each bucket capacity on the chip and reports the per-event
+device cost, plus the headline ratio: cost at the Npng=5 bucket (P=8) vs
+the max_prongs=20 graph every event paid before the ladder existed.
+
+Timing: batch-1 graphs sit under the tunnel's ~30 ms RPC floor, so per-call
+latency is unmeasurable directly here; instead N back-to-back dispatches
+close with one scalar fetch (bench._timed_best), giving device cost per
+event the same way tools/latency_bench.py derives it.
+
+    python tools/export_bucket_bench.py     # stderr table + one JSON line
+
+Writes artifacts/export_buckets_v5e.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+NUM_PRONGS = 5       # production-average event (VERDICT r3 item 1)
+ROUNDS = 48
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+
+    from bench import _timed_best
+    from __graft_entry__ import _synthetic_setup
+    from dune_transformercvn_tpu.config import Options
+    from dune_transformercvn_tpu.export import (
+        DEFAULT_PRONG_BUCKETS, build_inference_fn, _normalize_buckets,
+    )
+    from dune_transformercvn_tpu.models.network import TransformerCVN
+    from dune_transformercvn_tpu.ops.fold import (
+        count_foldable, fold_eval_batchnorm,
+    )
+    from dune_transformercvn_tpu.utils.cache import (
+        enable_compile_cache, enable_fast_prng,
+    )
+
+    enable_compile_cache()
+    enable_fast_prng()
+
+    options = Options.load(os.path.join(
+        REPO, "option_files", "fdhd_beam_2018prod_2023_08_07.json"))
+    options.compute_dtype = "bfloat16"
+    options.batch_size = 8
+
+    dataset, batcher, cfg, model, norm = _synthetic_setup(
+        options, num_events=16)
+    norm = {k: jnp.asarray(v) for k, v in norm.items()}
+    batch = {k: jnp.asarray(v)
+             for k, v in batcher.build_batch(np.arange(8)).items()}
+    variables = jax.jit(lambda r, b, n: model.init(r, b, n, train=False))(
+        jax.random.PRNGKey(0), batch, norm
+    )
+    if count_foldable(variables["params"]):
+        variables = jax.jit(lambda v: fold_eval_batchnorm(v)[0])(variables)
+
+    buckets = _normalize_buckets(DEFAULT_PRONG_BUCKETS, cfg.max_prongs)
+    record = {"bench": "export_buckets", "device": str(jax.devices()[0]),
+              "config": "production fdhd dense, bf16, single-event pid graph "
+                        "(build_inference_fn == the exported computation)",
+              "num_prongs": NUM_PRONGS, "buckets": list(buckets)}
+
+    rng = np.random.default_rng(0)
+    times = {}
+    for bucket in buckets:
+        bucket_model = (
+            model if bucket == cfg.max_prongs
+            else TransformerCVN(replace(cfg, max_prongs=bucket))
+        )
+        fn = jax.jit(
+            lambda pixels, n, _f=build_inference_fn(bucket_model, "pid"):
+            _f(variables, norm, pixels, n)
+        )
+        shape = (1 + bucket, cfg.pixel_channels,
+                 cfg.image_height, cfg.image_width)
+        pixels = (rng.uniform(size=shape) < 0.01)
+        pixels = (pixels * rng.uniform(16, 255, shape)).astype(np.float32)
+        pixels = jnp.asarray(pixels)
+        n = jnp.asarray(min(NUM_PRONGS, bucket), jnp.int32)
+        fn(pixels, n)  # compile
+
+        best = _timed_best(lambda: fn(pixels, n)[0], rounds=ROUNDS)
+        per_event_ms = best / ROUNDS * 1e3
+        times[bucket] = per_event_ms
+        record[f"p{bucket}_ms_per_event"] = round(per_event_ms, 3)
+        print(f"# bucket P={bucket:>2}: {per_event_ms:.2f} ms/event (device)",
+              file=sys.stderr, flush=True)
+
+    serving = min(b for b in buckets if b >= NUM_PRONGS)
+    full = max(buckets)
+    record["serving_bucket"] = serving
+    record["speedup_vs_max_prongs"] = round(times[full] / times[serving], 3)
+    print(f"# Npng={NUM_PRONGS}: bucket P={serving} is "
+          f"{record['speedup_vs_max_prongs']:.2f}x cheaper than the "
+          f"P={full} graph", file=sys.stderr, flush=True)
+
+    out = os.path.join(REPO, "artifacts", "export_buckets_v5e.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record))
+    print(f"# artifact -> {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

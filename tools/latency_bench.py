@@ -78,9 +78,6 @@ def main():
             np.arange(options.batch_size)).items()},
         norm,
     )
-    # serving runs BN-folded weights (ops/fold.py, the deployed path)
-    from dune_transformercvn_tpu.ops.fold import fold_eval_batchnorm
-    variables = jax.jit(lambda v: fold_eval_batchnorm(v)[0])(variables)
 
     @jax.jit
     def predict(variables, batch, norm):
