@@ -246,6 +246,24 @@ class Options:
         # where the packed-prong stem activations alone are ~2.6 GB.
         self.remat_embedder: bool = False
 
+        # Run the pixel embedders over the image bank in sequential chunks of
+        # this many rows (nn.scan + per-chunk remat): live CNN activations are
+        # capped at one chunk instead of the whole packed bank, which is what
+        # lets the SDXL family (the LArSoft production architecture; its
+        # 400x280 VAE-encoder activations are ~0.5 GiB/image for backward)
+        # train on a 16 GiB chip at all — the packed-prong bank floors at 128
+        # slots regardless of batch size.  0 = off.  SDXL-only: its GroupNorm
+        # is per-sample, so chunking is bit-identical; the BatchNorm families
+        # compute bank-wide statistics and must see the full bank.
+        self.embedder_chunk: int = 0
+
+        # Dense family: compute the DenseNet stem (7x7/2, 3 input channels)
+        # as a 4x4/1 conv over the 2x2 space-to-depth input.  Identical
+        # parameters and map; the direct form contracts over cin=3 on the
+        # 128-wide lane axis, and round-4 profiling measured its forward +
+        # weight-grad fusions as the step's largest roofline residual.
+        self.stem_space_to_depth: bool = False
+
         # Cross-replica synchronized batch-norm statistics (the reference runs
         # unsynced per-GPU BN under DDP; sync keeps replicated state exact).
         self.sync_batch_norm: bool = True

@@ -13,10 +13,72 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.masked import MaskedBatchNorm, PReLU
+
+
+class SpaceToDepthStem(nn.Module):
+    """The 7x7/2 stem conv, computed as a 4x4/1 conv over the 2x2
+    space-to-depth input — numerically the same map, far better MXU
+    tiling (the direct form contracts over kh*kw*cin = 7*7*3 with cin=3
+    riding the 128-wide lane axis at 2% utilization; round-4 profiling
+    showed the stem's forward + weight-grad fusions as the largest
+    positive roofline residual in the step).
+
+    Parameters are declared with the SAME names/shapes as the ``nn.Conv``
+    it replaces (``kernel`` [7,7,C,F], ``bias`` [F]) and rearranged at
+    apply time, so checkpoints, the torch importer, and the BN-fold pass
+    are untouched.  Derivation: x2[n,p,q,(a,b,c)] = x[n,2p+a,2q+b,c] and
+    W'[dh,dw,(a,b,c),f] = Wpad[2dh+a, 2dw+b, c, f] with Wpad zero-padded
+    by one leading tap (kh = 2dh+a-1), so
+
+      y[n,oh,ow,f] = sum x[n, 2oh+kh-3, 2ow+kw-3, c] W[kh,kw,c,f]
+                   = sum x2[n, oh+dh-2, ow+dw-2, (a,b,c)] W'[dh,dw,(a,b,c),f]
+
+    i.e. a stride-1 VALID conv over x2 padded (2,1)x(2,1).  Exact for
+    even H,W (400x280 here); odd extents fall back to the direct conv.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, c, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        if h % 2 or w % 2:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(self.dtype)
+        x2 = (
+            x.reshape(n, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // 2, w // 2, 4 * c)
+        )
+        wpad = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w2 = (
+            wpad.reshape(4, 2, 4, 2, c, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * c, self.features)
+        )
+        y = jax.lax.conv_general_dilated(
+            x2.astype(self.dtype), w2.astype(self.dtype),
+            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
 
 
 class Bottleneck(nn.Module):
@@ -79,6 +141,9 @@ class DenseNet(nn.Module):
     # ~1/3 more FLOPs for O(depth) less activation memory, unlocking larger
     # per-chip batches
     remat: bool = False
+    # compute the stem as a space-to-depth 4x4/1 conv (same parameters,
+    # same map — see SpaceToDepthStem)
+    stem_space_to_depth: bool = False
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
 
@@ -90,11 +155,18 @@ class DenseNet(nn.Module):
         )
         x = images.astype(self.dtype)
 
-        # Stem: 7x7/2 conv, BN, PReLU, 3x3/2 average pool.
-        x = nn.Conv(
-            self.initial_features, (7, 7), strides=(2, 2), padding=3,
-            dtype=self.dtype, param_dtype=jnp.float32,
-        )(x)
+        # Stem: 7x7/2 conv, BN, PReLU, 3x3/2 average pool.  The explicit
+        # "Conv_0" name keeps the param tree identical across the
+        # space-to-depth toggle (both declare kernel [7,7,C,F] + bias [F]).
+        if self.stem_space_to_depth:
+            x = SpaceToDepthStem(
+                self.initial_features, dtype=self.dtype, name="Conv_0"
+            )(x)
+        else:
+            x = nn.Conv(
+                self.initial_features, (7, 7), strides=(2, 2), padding=3,
+                dtype=self.dtype, param_dtype=jnp.float32, name="Conv_0",
+            )(x)
         return densenet_post_stem(self, x, mask, train, bottleneck_cls, kw)
 
 

@@ -82,6 +82,15 @@ class ModelConfig:
     axis_name: Optional[str] = None
     remat_cnn: bool = False
     remat_embedder: bool = False
+    # Apply the pixel embedders over the bank in sequential chunks of this
+    # many rows (nn.scan + per-chunk remat); 0 = off.  SDXL-only: GroupNorm
+    # is per-sample so chunking is exact, while the BatchNorm families need
+    # bank-wide statistics.  See Options.embedder_chunk.
+    embedder_chunk: int = 0
+    # Dense family: compute the 7x7/2 stem conv as a 4x4/1 conv over the
+    # 2x2 space-to-depth input — same parameters, same map, better MXU
+    # tiling (see models.densenet.SpaceToDepthStem).
+    stem_space_to_depth: bool = False
     # Reference quirk (neutrino_full_base_network.py:107): prongs reuse the
     # *event* position embedding; set True to use the dedicated prong vector.
     fix_prong_position_embedding: bool = False
@@ -100,6 +109,14 @@ class ModelConfig:
         axis_name: Optional[str] = None,
     ) -> "ModelConfig":
         split = bool(getattr(options, "split_event_targets", False))
+        chunk = int(getattr(options, "embedder_chunk", 0) or 0)
+        if chunk and embedder != "sdxl":
+            raise ValueError(
+                "embedder_chunk is only valid with the sdxl embedder: its "
+                "GroupNorm is per-sample so chunked == full-bank exactly; "
+                "the BatchNorm families compute bank-wide statistics "
+                f"(got embedder={embedder!r})"
+            )
         # The class count is data-inferred (max target + 1), so a detailed
         # file missing the rare class 9 is still valid; only the 10->4
         # remap (or an out-of-scheme file) must be rejected.
@@ -154,6 +171,9 @@ class ModelConfig:
             axis_name=axis_name,
             remat_cnn=options.remat_cnn,
             remat_embedder=getattr(options, "remat_embedder", False),
+            embedder_chunk=chunk,
+            stem_space_to_depth=bool(
+                getattr(options, "stem_space_to_depth", False)),
         )
 
     @property
@@ -178,6 +198,7 @@ def _embedder_spec(cfg: ModelConfig, output_dim: int):
             block_config=cfg.densenet_structure,
             dropout=cfg.dropout,
             remat=cfg.remat_cnn,
+            stem_space_to_depth=cfg.stem_space_to_depth,
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,
         )
@@ -278,6 +299,51 @@ def create_pixel_embedder(cfg: ModelConfig, output_dim: int, name: str) -> nn.Mo
         # tree — and checkpoints — are identical with the flag off.
         cls = nn.remat(cls, static_argnums=(3,))
     return cls(**kwargs, name=name)
+
+
+def apply_embedder(cnn: nn.Module, images, mask, train: bool, chunk: int):
+    """Apply a pixel embedder to an image bank, optionally in sequential
+    ``chunk``-row slices (``cfg.embedder_chunk``).
+
+    The chunked path is an ``nn.scan`` over bank slices with a rematted
+    body: live CNN activations are capped at one chunk's worth instead of
+    the whole bank, which is what fits the SDXL family's backward on a
+    16 GiB chip (the packed-prong bank floors at 128 slots and each
+    400x280 image carries ~0.5 GiB of resnet-block activations).  Params
+    are ``variable_broadcast`` so the tree — and checkpoints — are
+    identical with chunking off; SDXL's GroupNorm is per-sample, so the
+    chunked output is the full-bank output exactly.
+
+    Banks that ``chunk`` does not divide evenly fall back to one full-bank
+    call (the packed bank is always a multiple of 128 slots, so in practice
+    this only hits tiny event banks, which fit anyway).
+    """
+    # `images` is a hit-bank tuple for the coo family (never chunked).
+    if chunk <= 0 or isinstance(images, tuple):
+        return cnn(images, mask, train)
+    n = images.shape[0]
+    if n <= chunk or n % chunk != 0:
+        return cnn(images, mask, train)
+    xs = images.reshape(n // chunk, chunk, *images.shape[1:])
+    ms = (
+        jnp.ones((n // chunk, chunk), bool)
+        if mask is None
+        else mask.reshape(n // chunk, chunk)
+    )
+
+    def body(mdl, carry, x):
+        images_c, mask_c = x
+        return carry, mdl(images_c, mask_c, train)
+
+    scanned = nn.scan(
+        nn.remat(body, prevent_cse=False),
+        variable_broadcast=("params", "batch_stats"),
+        split_rngs={"params": False, "dropout": True, "noise": True},
+        in_axes=0,
+        out_axes=0,
+    )
+    _, ys = scanned(cnn, None, (xs, ms))
+    return ys.reshape(n, ys.shape[-1])
 
 
 class TransformerCVN(nn.Module):
@@ -396,8 +462,12 @@ class TransformerCVN(nn.Module):
         event_cnn = create_pixel_embedder(cfg, event_pixel_dim, "event_pixel_embedding")
         prong_cnn = create_pixel_embedder(cfg, cfg.pixel_embedding_dim, "prong_pixel_embedding")
 
-        event_pixel_emb = event_cnn(event_images, None, train)           # [B, pix+feat]
-        prong_pixel_emb = prong_cnn(prong_images, slot_mask, train)      # [P, pix]
+        event_pixel_emb = apply_embedder(
+            event_cnn, event_images, None, train, cfg.embedder_chunk
+        )                                                                # [B, pix+feat]
+        prong_pixel_emb = apply_embedder(
+            prong_cnn, prong_images, slot_mask, train, cfg.embedder_chunk
+        )                                                                # [P, pix]
 
         # ---- packed prong reco features -------------------------------------
         packed_features = pack_rows(features, slot_batch, slot_pos)

@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -34,6 +35,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 REMAT_LADDER = ("", "cnn", "cnn+embedder")   # escalation until it fits
+# The SDXL family's VAE-encoder backward does not fit even fully rematted
+# (round-4 measurement: every REMAT_LADDER rung OOMs at b4); its ladder
+# continues into chunked embedder application (Options.embedder_chunk:
+# nn.scan over bank slices + per-chunk remat, exact for SDXL's per-sample
+# GroupNorm).  Chunk sizes must divide both banks: the prong bank is a
+# multiple of 128 slots and the event bank equals the batch size.
+SDXL_LADDER = REMAT_LADDER + ("chunk16", "chunk8", "chunk4", "chunk2")
+
+
+def _apply_recipe(options, remat: str) -> None:
+    """Set the option fields a remat-ladder rung names ('cnn+chunk8'...)."""
+    options.remat_cnn = "cnn" in remat
+    options.remat_embedder = "embedder" in remat
+    m = re.search(r"chunk(\d+)", remat)
+    options.embedder_chunk = int(m.group(1)) if m else 0
 
 
 def _classify(e) -> str | None:
@@ -54,7 +70,7 @@ def _classify(e) -> str | None:
 
 
 def run_family(family: str, batch_sizes: list[int], rounds: int,
-               out_path: str) -> None:
+               out_path: str, ladder: tuple[str, ...] | None = None) -> None:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -140,26 +156,53 @@ def run_family(family: str, batch_sizes: list[int], rounds: int,
         ev, pr = model.apply(variables, batch, norm, train=False)
         return jax.nn.softmax(ev, -1), jax.nn.softmax(pr, -1)
 
+    def chunked_predict(chunk):
+        """SDXL OOM fallback: same variables (tree is chunk-invariant),
+        embedders applied in `chunk`-row slices (exact for GroupNorm)."""
+        options.embedder_chunk = chunk
+        cfg_c = ModelConfig.from_options(
+            options, dataset.num_features, dataset.num_extra,
+            dataset.pixel_features, dataset.num_event_classes,
+            dataset.num_prong_classes, image_shape=dataset.pixel_shape,
+            embedder=family,
+        )
+        options.embedder_chunk = 0
+        model_c = TransformerCVN(cfg_c)
+
+        @jax.jit
+        def predict_c(variables, batch, norm):
+            ev, pr = model_c.apply(variables, batch, norm, train=False)
+            return jax.nn.softmax(ev, -1), jax.nn.softmax(pr, -1)
+
+        return predict_c
+
     for bsz in batch_sizes:
-        batch = device_batch(bsz)
-        try:
-            eps = _inference_eps(
-                lambda b: predict(variables, b, norm), [batch],
-                bsz, rounds=max(4, 192 // bsz),
-            )
-        except Exception as e:  # axon raises runtime RESOURCE_EXHAUSTED
-            verdict = _classify(e)
-            if verdict is None:
-                raise
-            fam_rec[f"inference_b{bsz}_events_per_second"] = verdict
-            print(f"#   inference b{bsz}: {verdict}",
-                  file=sys.stderr, flush=True)
+        key, fn = f"inference_b{bsz}_events_per_second", predict
+        for attempt in ("full", "chunk8"):
+            batch = device_batch(bsz)
+            try:
+                eps = _inference_eps(
+                    lambda b: fn(variables, b, norm), [batch],
+                    bsz, rounds=max(4, 192 // bsz),
+                )
+            except Exception as e:  # axon raises runtime RESOURCE_EXHAUSTED
+                verdict = _classify(e)
+                if verdict is None:
+                    raise
+                fam_rec[key] = verdict
+                print(f"#   inference b{bsz} [{attempt}]: {verdict}",
+                      file=sys.stderr, flush=True)
+                del batch
+                if family == "sdxl" and attempt == "full":
+                    key, fn = (f"inference_b{bsz}_chunk8_events_per_second",
+                               chunked_predict(8))
+                    continue
+                break
             del batch
-            continue
-        del batch
-        fam_rec[f"inference_b{bsz}_events_per_second"] = round(eps, 1)
-        print(f"#   inference b{bsz}: {eps:.0f} ev/s",
-              file=sys.stderr, flush=True)
+            fam_rec[key] = round(eps, 1)
+            print(f"#   inference b{bsz} [{attempt}]: {eps:.0f} ev/s",
+                  file=sys.stderr, flush=True)
+            break
     flush()
 
     # Drop the folded-weights copy before training: for the big families
@@ -168,12 +211,13 @@ def run_family(family: str, batch_sizes: list[int], rounds: int,
     predict = None
 
     # ---- train steps with remat escalation ---------------------------------
+    if ladder is None:
+        ladder = SDXL_LADDER if family == "sdxl" else REMAT_LADDER
     for bsz in batch_sizes:
         options.batch_size = bsz
         done = False
-        for remat in REMAT_LADDER:
-            options.remat_cnn = "cnn" in remat
-            options.remat_embedder = "embedder" in remat
+        for remat in ladder:
+            _apply_recipe(options, remat)
             # Remat flags are baked into ModelConfig at construction —
             # rebuild the module per rung (param-tree names are stable
             # across remat toggles, so state0 is reusable as-is).
@@ -258,22 +302,29 @@ def main():
     parser.add_argument(
         "--out", default=os.path.join(REPO, "artifacts", "family_cost_v5e.json")
     )
+    parser.add_argument(
+        "--ladder", default=None,
+        help="comma-separated remat rungs to try (default: per-family "
+             "ladder); e.g. 'chunk8,chunk4' to skip known-OOM rungs",
+    )
     args = parser.parse_args()
     families = [f.strip() for f in args.families.split(",") if f.strip()]
+    ladder = (tuple(r.strip() for r in args.ladder.split(","))
+              if args.ladder is not None else None)
 
     if len(families) == 1:
         run_family(families[0], [int(b) for b in args.batches.split(",")],
-                   args.rounds, args.out)
+                   args.rounds, args.out, ladder)
         return
 
-    # One subprocess per family: a family that OOMs leaves dead device
-    # buffers behind until process exit, poisoning later families.
+    # One subprocess per family: a family that OOMs the chip leaves dead
+    # device buffers behind until process exit, poisoning later families.
     for family in families:
         rc = subprocess.call([
             sys.executable, os.path.abspath(__file__),
             "--families", family, "--batches", args.batches,
             "--rounds", str(args.rounds), "--out", args.out,
-        ])
+        ] + (["--ladder", args.ladder] if args.ladder is not None else []))
         if rc != 0:
             print(f"# family {family}: subprocess rc={rc}",
                   file=sys.stderr, flush=True)

@@ -55,11 +55,15 @@ def device_op_times(tracedir: str) -> dict:
 def device_op_stats(tracedir: str) -> dict:
     """Per-op stats from the device's XLA Ops lane.
 
-    Returns ``{name: {dur (s), bytes (accessed), category, long_name}}``.
-    ``hlo_category`` (from the compiler, e.g. "convolution fusion") is far
-    more reliable than guessing from op names — most big ops are just
-    "fusion.N"; ``bytes_accessed`` enables per-op achieved-bandwidth
-    (roofline) attribution.
+    Returns ``{name: {dur (s), bytes (accessed), flops, category,
+    long_name}}``.  ``hlo_category`` (from the compiler, e.g. "convolution
+    fusion") is far more reliable than guessing from op names — most big
+    ops are just "fusion.N"; ``bytes_accessed`` enables per-op
+    achieved-bandwidth (roofline) attribution; ``flops`` is XLA's own
+    ``model_flops`` cost analysis (summed over occurrences, like ``dur``);
+    ``long_name`` is the HLO instruction text with operand shapes AND
+    layouts/memory spaces, which conv_bw_study.py parses for physical
+    byte counts.
     """
     files = sorted(glob.glob(f"{tracedir}/**/*.trace.json.gz", recursive=True))
     if not files:
@@ -85,13 +89,15 @@ def device_op_stats(tracedir: str) -> dict:
             args = e.get("args") or {}
             s = stats.setdefault(
                 name,
-                {"dur": 0.0, "bytes": 0, "category": "", "long_name": ""},
+                {"dur": 0.0, "bytes": 0, "flops": 0, "category": "",
+                 "long_name": ""},
             )
             s["dur"] += e.get("dur", 0) / 1e6
             s["bytes"] += int(args.get("bytes_accessed", 0) or 0)
+            s["flops"] += int(args.get("model_flops", 0) or 0)
             if not s["category"]:
                 s["category"] = args.get("hlo_category", "")
-                s["long_name"] = args.get("long_name", "")[:240]
+                s["long_name"] = args.get("long_name", "")[:4000]
     return stats
 
 
