@@ -70,7 +70,8 @@ def _classify(e) -> str | None:
 
 
 def run_family(family: str, batch_sizes: list[int], rounds: int,
-               out_path: str, ladder: tuple[str, ...] | None = None) -> None:
+               out_path: str, ladder: tuple[str, ...] | None = None,
+               train_only: bool = False) -> None:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -176,7 +177,8 @@ def run_family(family: str, batch_sizes: list[int], rounds: int,
 
         return predict_c
 
-    for bsz in batch_sizes:
+    # --train_only skips re-measuring inference (keeps existing rows).
+    for bsz in ([] if train_only else batch_sizes):
         key, fn = f"inference_b{bsz}_events_per_second", predict
         for attempt in ("full", "chunk8"):
             batch = device_batch(bsz)
@@ -307,6 +309,10 @@ def main():
         help="comma-separated remat rungs to try (default: per-family "
              "ladder); e.g. 'chunk8,chunk4' to skip known-OOM rungs",
     )
+    parser.add_argument(
+        "--train_only", action="store_true",
+        help="skip the inference measurements (existing rows are kept)",
+    )
     args = parser.parse_args()
     families = [f.strip() for f in args.families.split(",") if f.strip()]
     ladder = (tuple(r.strip() for r in args.ladder.split(","))
@@ -314,7 +320,7 @@ def main():
 
     if len(families) == 1:
         run_family(families[0], [int(b) for b in args.batches.split(",")],
-                   args.rounds, args.out, ladder)
+                   args.rounds, args.out, ladder, args.train_only)
         return
 
     # One subprocess per family: a family that OOMs the chip leaves dead
@@ -324,7 +330,8 @@ def main():
             sys.executable, os.path.abspath(__file__),
             "--families", family, "--batches", args.batches,
             "--rounds", str(args.rounds), "--out", args.out,
-        ] + (["--ladder", args.ladder] if args.ladder is not None else []))
+        ] + (["--ladder", args.ladder] if args.ladder is not None else [])
+          + (["--train_only"] if args.train_only else []))
         if rc != 0:
             print(f"# family {family}: subprocess rc={rc}",
                   file=sys.stderr, flush=True)
