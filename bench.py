@@ -207,12 +207,18 @@ def train_bench(options, batch_sizes=(16, 64), scan_steps=8):
     yield (label, eps, step_time, single_flops.get(largest))
 
 
-def _probe_device(timeout_s: float = 180.0) -> None:
-    """Fail fast (non-zero exit) if the device is unreachable.
+def _probe_device(attempts: int = 4, timeout_s: float = 180.0,
+                  backoff_s: float = 60.0) -> str | None:
+    """Return None if the device answers, else a short failure description.
 
     The axon tunnel can hang indefinitely on a downed device — inside jax
     C++ calls, where no Python signal fires — so probe from a subprocess
-    with a hard timeout instead of letting the whole bench wedge.
+    with a hard timeout instead of letting the whole bench wedge.  Round 4
+    lost its entire perf record to a single-shot probe hitting a transient
+    outage (BENCH_r04.json rc=3 parsed=null), so the probe is now a retry
+    ladder: `attempts` probes of `timeout_s` each with `backoff_s` between
+    (~15 min worst case), and on final failure the CALLER still prints one
+    structured-error JSON line so the driver's `parsed` is never null.
     """
     import subprocess
 
@@ -222,15 +228,26 @@ def _probe_device(timeout_s: float = 180.0) -> None:
         "x = jnp.ones((256, 256), jnp.bfloat16)\n"
         "print('ok', float(jax.device_get((x @ x)[0, 0])))\n"
     )
-    try:
-        subprocess.run(
-            [sys.executable, "-c", code], check=True, timeout=timeout_s,
-            stdout=subprocess.DEVNULL,
-        )
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
-        print(f"bench: device probe failed ({e!r}); refusing to hang",
-              file=sys.stderr)
-        raise SystemExit(3)
+    last = "unknown"
+    for attempt in range(attempts):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", code], check=True, timeout=timeout_s,
+                stdout=subprocess.DEVNULL,
+            )
+            return None
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            last = type(e).__name__
+            print(
+                f"bench: device probe attempt {attempt + 1}/{attempts} "
+                f"failed ({last}); "
+                + (f"retrying in {backoff_s:.0f}s" if attempt + 1 < attempts
+                   else "giving up"),
+                file=sys.stderr,
+            )
+            if attempt + 1 < attempts:
+                time.sleep(backoff_s)
+    return last
 
 
 def main():
@@ -240,7 +257,23 @@ def main():
         enable_compile_cache, enable_fast_prng,
     )
 
-    _probe_device()
+    attempts = int(os.environ.get("DUNE_TCVN_BENCH_PROBE_ATTEMPTS", "4"))
+    timeout_s = float(os.environ.get("DUNE_TCVN_BENCH_PROBE_TIMEOUT", "180"))
+    backoff_s = float(os.environ.get("DUNE_TCVN_BENCH_PROBE_BACKOFF", "60"))
+    failure = _probe_device(attempts, timeout_s, backoff_s)
+    if failure is not None:
+        # Driver contract: exactly one JSON line on stdout, ALWAYS — even
+        # when the device is unreachable (see _probe_device docstring).
+        print(json.dumps({
+            "metric": "inference_events_per_second",
+            "value": None,
+            "unit": "events/s (batch 16, dense prod config, 1 chip)",
+            "vs_baseline": None,
+            "error": "device_unreachable",
+            "error_detail": f"probe ladder exhausted ({attempts}x"
+                            f"{timeout_s:.0f}s, last={failure})",
+        }))
+        raise SystemExit(0)
 
     enable_compile_cache()
     enable_fast_prng()

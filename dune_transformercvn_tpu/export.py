@@ -39,7 +39,10 @@ VARIANTS = ("pid", "embeddings", "combined")
 # CNN passes in LArSoft; a static max_prongs graph pays 21.  Exporting a
 # small ladder of static capacities recovers the serving cost scaling with
 # zero dynamic shapes: the caller picks the smallest bucket >= Npng.
-DEFAULT_PRONG_BUCKETS = (4, 8, 12)
+# No rung below 8: artifacts/export_buckets_v5e.json measured P=4 SLOWER
+# than P=8 (1.55 vs 1.43 ms/event — same sublane quantum, worse conv
+# strategy), so a 4-rung only adds export cost and a serving regression.
+DEFAULT_PRONG_BUCKETS = (8, 12)
 
 
 def _normalize_buckets(

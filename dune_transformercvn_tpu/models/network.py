@@ -316,13 +316,28 @@ def apply_embedder(cnn: nn.Module, images, mask, train: bool, chunk: int):
 
     Banks that ``chunk`` does not divide evenly fall back to one full-bank
     call (the packed bank is always a multiple of 128 slots, so in practice
-    this only hits tiny event banks, which fit anyway).
+    this only hits tiny event banks, which fit anyway); a large bank that
+    skips chunking raises a trace-time warning since that full-bank call is
+    the OOM the option exists to prevent.
     """
     # `images` is a hit-bank tuple for the coo family (never chunked).
     if chunk <= 0 or isinstance(images, tuple):
         return cnn(images, mask, train)
     n = images.shape[0]
     if n <= chunk or n % chunk != 0:
+        if n > chunk:
+            # Bank sizes are static under jit, so this fires at trace time.
+            # A silently skipped chunking on a large bank is exactly the OOM
+            # the option exists to prevent (packed prong banks are multiples
+            # of 128 slots, so a non-dividing chunk there is a config bug).
+            import warnings
+
+            warnings.warn(
+                f"embedder_chunk={chunk} does not divide bank size {n}; "
+                f"falling back to ONE full-bank call — expect the OOM "
+                f"chunking was meant to avoid. Pick a chunk dividing {n}.",
+                stacklevel=2,
+            )
         return cnn(images, mask, train)
     xs = images.reshape(n // chunk, chunk, *images.shape[1:])
     ms = (

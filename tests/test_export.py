@@ -128,6 +128,17 @@ def test_bucket_selection_rules():
     assert select_bucket((4, 8), 13) == 8  # over-full event: largest bucket
 
 
+def test_default_ladder_has_no_rung_below_eight():
+    """artifacts/export_buckets_v5e.json: P=4 serves SLOWER than P=8
+    (1.55 vs 1.43 ms/event) — the sublane quantum is identical but XLA
+    picks a worse conv strategy, so a rung below 8 is a pure regression.
+    Npng<=4 events must land on the P=8 graph."""
+    from dune_transformercvn_tpu.export import DEFAULT_PRONG_BUCKETS
+
+    assert min(DEFAULT_PRONG_BUCKETS) == 8
+    assert select_bucket(_normalize_buckets(DEFAULT_PRONG_BUCKETS, 20), 3) == 8
+
+
 def test_bucketed_export_matches_full_graph(tiny_export_model, tmp_path):
     """A small-capacity bucket graph must reproduce the full graph's
     outputs for events that fit it (same checkpoint, fewer CNN passes —

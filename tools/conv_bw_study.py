@@ -126,13 +126,21 @@ def hbm_bytes(dtype, dims, layout_body):
 def event_model(v, steps, bw_gbps=HBM_GBPS, mxu_tflops=MXU_TFLOPS):
     """Roofline decomposition of one aggregated trace op."""
     shapes = parse_operands(v["long_name"])
-    phys = sum(hbm_bytes(*s) for s in shapes)
+    # long_name describes ONE occurrence; dur/flops aggregate ALL
+    # occurrences of this op name across the trace (an op inside a scan or
+    # called twice executes occurrences/steps times per step), so scale the
+    # per-occurrence physical bytes to per-step.
+    occurrences = max(1, v.get("occurrences", steps))
+    phys = sum(hbm_bytes(*s) for s in shapes) * occurrences // max(1, steps)
     flops = v.get("flops", 0) // max(1, steps)
     t = v["dur"] / steps
     t_bw = phys / (bw_gbps * 1e9)
     t_mxu = flops / (mxu_tflops * 1e12)
     t_model = max(t_bw, t_mxu)
     return {
+        "occurrences_per_step": occurrences / max(1, steps),
+        # a truncated long_name loses operands -> bw term is a lower bound
+        "partially_modeled": bool(v.get("long_name_truncated", False)),
         "t_ms_per_step": t * 1e3,
         "analytic_gbps": (v["bytes"] / v["dur"] / 1e9) if v["dur"] else 0,
         "hbm_bytes": phys,

@@ -64,8 +64,12 @@ def _classify(e) -> str | None:
         return "DOES NOT FIT (HBM)"
     if "remote_compile" in msg or "tpu_compile_helper" in msg:
         return "COMPILE FAILED (sandbox remote-compile host limit)"
-    if "memory" in msg.lower():
-        return "DOES NOT FIT (HBM)"
+    # Narrow OOM patterns only — a bare "memory" substring also matches
+    # unrelated errors ("shared memory", tracebacks) and would silently
+    # record a real bug as OOM.  Everything else re-raises to the caller.
+    low = msg.lower()
+    if "out of memory" in low or "exceeds the hbm" in low or "oom" in low:
+        return f"DOES NOT FIT (HBM): {msg[:200]}"
     return None
 
 

@@ -90,14 +90,21 @@ def device_op_stats(tracedir: str) -> dict:
             s = stats.setdefault(
                 name,
                 {"dur": 0.0, "bytes": 0, "flops": 0, "category": "",
-                 "long_name": ""},
+                 "long_name": "", "occurrences": 0,
+                 "long_name_truncated": False},
             )
             s["dur"] += e.get("dur", 0) / 1e6
             s["bytes"] += int(args.get("bytes_accessed", 0) or 0)
             s["flops"] += int(args.get("model_flops", 0) or 0)
+            s["occurrences"] += 1
             if not s["category"]:
                 s["category"] = args.get("hlo_category", "")
-                s["long_name"] = args.get("long_name", "")[:4000]
+                full = args.get("long_name", "")
+                s["long_name"] = full[:4000]
+                # conv_bw_study parses operand shapes out of long_name; a
+                # truncated one silently loses operands, so flag it and let
+                # downstream mark the row as partially modeled.
+                s["long_name_truncated"] = len(full) > 4000
     return stats
 
 
