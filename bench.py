@@ -207,6 +207,28 @@ def train_bench(options, batch_sizes=(16, 64), scan_steps=8):
     yield (label, eps, step_time, single_flops.get(largest))
 
 
+def _release_device() -> None:
+    """Tear down this process's pre-initialized axon client.
+
+    This sandbox pre-imports jax AND initializes the axon backend at
+    interpreter startup, and the tunnel admits ONE client at a time: a
+    probe subprocess hangs forever while the parent's client exists
+    (measured round 5: probe 52s after clear_backends vs TimeoutExpired
+    at 180s without).  This — not a device outage — is what ate the
+    round-4 AND round-5-start bench records.  jax lazily re-creates the
+    client on first use after the probe returns the lease.
+    """
+    try:
+        from jax.extend.backend import clear_backends
+    except ImportError:          # older jax: private fallback
+        from jax._src.xla_bridge import _clear_backends as clear_backends
+    try:
+        clear_backends()
+    except Exception as e:
+        print(f"bench: clear_backends failed ({e}); probe may starve",
+              file=sys.stderr)
+
+
 def _probe_device(attempts: int = 4, timeout_s: float = 180.0,
                   backoff_s: float = 60.0) -> str | None:
     """Return None if the device answers, else a short failure description.
@@ -214,19 +236,30 @@ def _probe_device(attempts: int = 4, timeout_s: float = 180.0,
     The axon tunnel can hang indefinitely on a downed device — inside jax
     C++ calls, where no Python signal fires — so probe from a subprocess
     with a hard timeout instead of letting the whole bench wedge.  Round 4
-    lost its entire perf record to a single-shot probe hitting a transient
-    outage (BENCH_r04.json rc=3 parsed=null), so the probe is now a retry
-    ladder: `attempts` probes of `timeout_s` each with `backoff_s` between
-    (~15 min worst case), and on final failure the CALLER still prints one
-    structured-error JSON line so the driver's `parsed` is never null.
+    lost its entire perf record to a single-shot probe hitting what looked
+    like a transient outage (BENCH_r04.json rc=3 parsed=null), so the probe
+    is a retry ladder: `attempts` probes of `timeout_s` each with
+    `backoff_s` between (~20 min worst case), and on final failure the
+    CALLER still prints one structured-error JSON line so the driver's
+    `parsed` is never null.  The caller MUST `_release_device()` first —
+    the tunnel admits ONE client at a time, and a parent holding one
+    starves every child (round-5 measurement: probe 52s after
+    clear_backends vs TimeoutExpired without).  A healthy isolated probe
+    measures 52-98s wall; the 300s default budgets for tunnel variance
+    and lease-release lag from other recently-exited clients.
     """
     import subprocess
 
     code = (
+        "import time; t0 = time.time()\n"
         "import jax, jax.numpy as jnp\n"
         "assert jax.default_backend() == 'tpu', jax.default_backend()\n"
+        "from dune_transformercvn_tpu.utils.cache import enable_compile_cache\n"
+        "enable_compile_cache()\n"
         "x = jnp.ones((256, 256), jnp.bfloat16)\n"
-        "print('ok', float(jax.device_get((x @ x)[0, 0])))\n"
+        "import sys\n"
+        "print('bench probe ok', float(jax.device_get((x @ x)[0, 0])),\n"
+        "      '%.1fs' % (time.time() - t0), file=sys.stderr)\n"
     )
     last = "unknown"
     for attempt in range(attempts):
@@ -258,8 +291,9 @@ def main():
     )
 
     attempts = int(os.environ.get("DUNE_TCVN_BENCH_PROBE_ATTEMPTS", "4"))
-    timeout_s = float(os.environ.get("DUNE_TCVN_BENCH_PROBE_TIMEOUT", "180"))
+    timeout_s = float(os.environ.get("DUNE_TCVN_BENCH_PROBE_TIMEOUT", "300"))
     backoff_s = float(os.environ.get("DUNE_TCVN_BENCH_PROBE_BACKOFF", "60"))
+    _release_device()   # one-client tunnel: the probe starves otherwise
     failure = _probe_device(attempts, timeout_s, backoff_s)
     if failure is not None:
         # Driver contract: exactly one JSON line on stdout, ALWAYS — even

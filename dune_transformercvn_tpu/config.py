@@ -257,6 +257,15 @@ class Options:
         # compute bank-wide statistics and must see the full bank.
         self.embedder_chunk: int = 0
 
+        # Selective remat inside the embedder chunk body: conv outputs whose
+        # spatial extent (H*W after downsampling) is at most this value are
+        # SAVED across the chunk scan instead of recomputed in backward
+        # (jax.checkpoint save_only_these_names over tagged activations).
+        # Saved residuals stack across ALL scan steps — the whole bank — so
+        # only the small deep feature maps are affordable; 0 = blanket remat
+        # (save nothing).  Experiment registered in VERDICT r4 item 2.
+        self.embedder_chunk_save_spatial: int = 0
+
         # Dense family: compute the DenseNet stem (7x7/2, 3 input channels)
         # as a 4x4/1 conv over the 2x2 space-to-depth input.  Identical
         # parameters and map; the direct form contracts over cin=3 on the

@@ -40,14 +40,25 @@ class SpaceToDepthStem(nn.Module):
 
     i.e. a stride-1 VALID conv over x2 padded (2,1)x(2,1).  Exact for
     even H,W (400x280 here); odd extents fall back to the direct conv.
+
+    When ``in_channels`` is set and the input arrives with ``4*in_channels``
+    channels, it is already in s2d layout (the Pallas densify kernel emits
+    it directly from the COO hits — zero extra HBM traffic, see
+    ``ops/pallas_densify.py``) and the reshape/transpose here is skipped.
+    The kernel param stays ``[7, 7, in_channels, F]`` either way, so
+    checkpoints, the torch importer, and the BN-fold pass are untouched.
     """
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    in_channels: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
         n, h, w, c = x.shape
+        pre_s2d = self.in_channels is not None and c == 4 * self.in_channels
+        if pre_s2d:
+            c = self.in_channels
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (7, 7, c, self.features),
             jnp.float32,
@@ -55,14 +66,14 @@ class SpaceToDepthStem(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
         )
-        if h % 2 or w % 2:
+        if not pre_s2d and (h % 2 or w % 2):
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 window_strides=(2, 2), padding=((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             return y + bias.astype(self.dtype)
-        x2 = (
+        x2 = x if pre_s2d else (
             x.reshape(n, h // 2, 2, w // 2, 2, c)
             .transpose(0, 1, 3, 2, 4, 5)
             .reshape(n, h // 2, w // 2, 4 * c)
@@ -144,6 +155,9 @@ class DenseNet(nn.Module):
     # compute the stem as a space-to-depth 4x4/1 conv (same parameters,
     # same map — see SpaceToDepthStem)
     stem_space_to_depth: bool = False
+    # configured pixel-channel count; lets the s2d stem recognise input
+    # already emitted in s2d layout by the Pallas densify kernel
+    stem_in_channels: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
 
@@ -160,7 +174,8 @@ class DenseNet(nn.Module):
         # space-to-depth toggle (both declare kernel [7,7,C,F] + bias [F]).
         if self.stem_space_to_depth:
             x = SpaceToDepthStem(
-                self.initial_features, dtype=self.dtype, name="Conv_0"
+                self.initial_features, dtype=self.dtype,
+                in_channels=self.stem_in_channels, name="Conv_0",
             )(x)
         else:
             x = nn.Conv(

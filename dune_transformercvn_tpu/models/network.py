@@ -87,6 +87,10 @@ class ModelConfig:
     # is per-sample so chunking is exact, while the BatchNorm families need
     # bank-wide statistics.  See Options.embedder_chunk.
     embedder_chunk: int = 0
+    # Selective remat in the chunk body: save tagged conv outputs with
+    # spatial extent <= this across the scan (0 = blanket remat).  See
+    # Options.embedder_chunk_save_spatial.
+    embedder_chunk_save_spatial: int = 0
     # Dense family: compute the 7x7/2 stem conv as a 4x4/1 conv over the
     # 2x2 space-to-depth input — same parameters, same map, better MXU
     # tiling (see models.densenet.SpaceToDepthStem).
@@ -172,6 +176,8 @@ class ModelConfig:
             remat_cnn=options.remat_cnn,
             remat_embedder=getattr(options, "remat_embedder", False),
             embedder_chunk=chunk,
+            embedder_chunk_save_spatial=int(
+                getattr(options, "embedder_chunk_save_spatial", 0) or 0),
             stem_space_to_depth=bool(
                 getattr(options, "stem_space_to_depth", False)),
         )
@@ -199,6 +205,7 @@ def _embedder_spec(cfg: ModelConfig, output_dim: int):
             dropout=cfg.dropout,
             remat=cfg.remat_cnn,
             stem_space_to_depth=cfg.stem_space_to_depth,
+            stem_in_channels=cfg.cnn_input_channels,
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,
         )
@@ -212,6 +219,7 @@ def _embedder_spec(cfg: ModelConfig, output_dim: int):
             num_blocks=4,
             norm_num_groups=1,
             dtype=cfg.dtype,
+            save_spatial=cfg.embedder_chunk_save_spatial,
         )
     if cfg.embedder == "coo":
         from .coo_densenet import CooStemDenseNet
@@ -301,7 +309,8 @@ def create_pixel_embedder(cfg: ModelConfig, output_dim: int, name: str) -> nn.Mo
     return cls(**kwargs, name=name)
 
 
-def apply_embedder(cnn: nn.Module, images, mask, train: bool, chunk: int):
+def apply_embedder(cnn: nn.Module, images, mask, train: bool, chunk: int,
+                   save_spatial: int = 0):
     """Apply a pixel embedder to an image bank, optionally in sequential
     ``chunk``-row slices (``cfg.embedder_chunk``).
 
@@ -314,30 +323,30 @@ def apply_embedder(cnn: nn.Module, images, mask, train: bool, chunk: int):
     identical with chunking off; SDXL's GroupNorm is per-sample, so the
     chunked output is the full-bank output exactly.
 
-    Banks that ``chunk`` does not divide evenly fall back to one full-bank
-    call (the packed bank is always a multiple of 128 slots, so in practice
-    this only hits tiny event banks, which fit anyway); a large bank that
-    skips chunking raises a trace-time warning since that full-bank call is
-    the OOM the option exists to prevent.
+    A bank no larger than ``chunk`` runs as a single scan step (still
+    rematted — an un-rematted full call on, say, a 16-image SDXL event
+    bank is exactly the OOM the option prevents); a larger bank that
+    ``chunk`` does not divide falls back to one full-bank call with a
+    trace-time warning.
     """
     # `images` is a hit-bank tuple for the coo family (never chunked).
     if chunk <= 0 or isinstance(images, tuple):
         return cnn(images, mask, train)
     n = images.shape[0]
-    if n <= chunk or n % chunk != 0:
-        if n > chunk:
-            # Bank sizes are static under jit, so this fires at trace time.
-            # A silently skipped chunking on a large bank is exactly the OOM
-            # the option exists to prevent (packed prong banks are multiples
-            # of 128 slots, so a non-dividing chunk there is a config bug).
-            import warnings
+    chunk = min(chunk, n)
+    if n % chunk != 0:
+        # Bank sizes are static under jit, so this fires at trace time.
+        # A silently skipped chunking on a large bank is exactly the OOM
+        # the option exists to prevent (packed prong banks are multiples
+        # of 128 slots, so a non-dividing chunk there is a config bug).
+        import warnings
 
-            warnings.warn(
-                f"embedder_chunk={chunk} does not divide bank size {n}; "
-                f"falling back to ONE full-bank call — expect the OOM "
-                f"chunking was meant to avoid. Pick a chunk dividing {n}.",
-                stacklevel=2,
-            )
+        warnings.warn(
+            f"embedder_chunk={chunk} does not divide bank size {n}; "
+            f"falling back to ONE full-bank call — expect the OOM "
+            f"chunking was meant to avoid. Pick a chunk dividing {n}.",
+            stacklevel=2,
+        )
         return cnn(images, mask, train)
     xs = images.reshape(n // chunk, chunk, *images.shape[1:])
     ms = (
@@ -350,8 +359,19 @@ def apply_embedder(cnn: nn.Module, images, mask, train: bool, chunk: int):
         images_c, mask_c = x
         return carry, mdl(images_c, mask_c, train)
 
+    if save_spatial > 0:
+        # Selective remat: keep the tagged small-spatial conv outputs
+        # (models.sdxl._maybe_save) across the scan; recompute the rest.
+        remat_body = nn.remat(
+            body, prevent_cse=False,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "embedder_chunk_saved"),
+        )
+    else:
+        remat_body = nn.remat(body, prevent_cse=False)
+
     scanned = nn.scan(
-        nn.remat(body, prevent_cse=False),
+        remat_body,
         variable_broadcast=("params", "batch_stats"),
         split_rngs={"params": False, "dropout": True, "noise": True},
         in_axes=0,
@@ -420,17 +440,27 @@ class TransformerCVN(nn.Module):
                 batch.get("prong_starts"),
             )
         else:
+            # With the space-to-depth stem on, the dense family's images are
+            # built directly in s2d layout [N, H/2, W/2, 4C] — the Pallas
+            # densify kernel emits it from the hit coordinates for free,
+            # deleting the transpose pass that round 4 measured eating the
+            # stem fusion win (SpaceToDepthStem detects the layout and skips
+            # its own reshape; other families' stems are not s2d-aware).
+            s2d = (cfg.stem_space_to_depth and cfg.embedder == "dense"
+                   and H % 2 == 0 and W % 2 == 0)
             event_images = densify_images(
                 batch["event_xy"],
                 self.preprocess_values(batch["event_vals"], train),
                 batch["event_owner"], B, H, W,
                 starts=batch.get("event_starts"),
+                space_to_depth=s2d,
             )
             prong_images = densify_images(
                 batch["prong_xy"],
                 self.preprocess_values(batch["prong_vals"], train),
                 batch["prong_owner"], P, H, W,
                 starts=batch.get("prong_starts"),
+                space_to_depth=s2d,
             )
 
         event_logits, prong_logits, _, _ = self.forward_from_images(
@@ -478,10 +508,12 @@ class TransformerCVN(nn.Module):
         prong_cnn = create_pixel_embedder(cfg, cfg.pixel_embedding_dim, "prong_pixel_embedding")
 
         event_pixel_emb = apply_embedder(
-            event_cnn, event_images, None, train, cfg.embedder_chunk
+            event_cnn, event_images, None, train, cfg.embedder_chunk,
+            cfg.embedder_chunk_save_spatial,
         )                                                                # [B, pix+feat]
         prong_pixel_emb = apply_embedder(
-            prong_cnn, prong_images, slot_mask, train, cfg.embedder_chunk
+            prong_cnn, prong_images, slot_mask, train, cfg.embedder_chunk,
+            cfg.embedder_chunk_save_spatial,
         )                                                                # [P, pix]
 
         # ---- packed prong reco features -------------------------------------

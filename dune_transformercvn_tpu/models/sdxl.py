@@ -26,12 +26,27 @@ from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
+
+
+def _maybe_save(h: jnp.ndarray, save_spatial: int) -> jnp.ndarray:
+    """Tag a conv output for the selective chunk-remat policy.
+
+    When ``embedder_chunk_save_spatial`` is on, conv outputs whose H*W is at
+    most the threshold are named so ``apply_embedder``'s
+    ``save_only_these_names`` policy keeps them across the chunk scan
+    instead of recomputing them in backward (saved residuals stack over all
+    scan steps, so only small deep maps are affordable)."""
+    if save_spatial and h.ndim == 4 and h.shape[1] * h.shape[2] <= save_spatial:
+        return checkpoint_name(h, "embedder_chunk_saved")
+    return h
 
 
 class ResnetBlock(nn.Module):
     features: int
     groups: int = 1
     dtype: jnp.dtype = jnp.float32
+    save_spatial: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -40,14 +55,17 @@ class ResnetBlock(nn.Module):
         h = nn.silu(h)
         h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32)(h)
+        h = _maybe_save(h, self.save_spatial)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
                          param_dtype=jnp.float32)(h)
         h = nn.silu(h)
         h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32)(h)
+        h = _maybe_save(h, self.save_spatial)
         if x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32, name="shortcut")(x)
+            x = _maybe_save(x, self.save_spatial)
         return x + h
 
 
@@ -79,17 +97,20 @@ class DownEncoderBlock(nn.Module):
     add_downsample: bool = True
     groups: int = 1
     dtype: jnp.dtype = jnp.float32
+    save_spatial: int = 0
 
     @nn.compact
     def __call__(self, x):
         for _ in range(self.num_layers):
-            x = ResnetBlock(self.features, self.groups, self.dtype)(x)
+            x = ResnetBlock(self.features, self.groups, self.dtype,
+                            self.save_spatial)(x)
         if self.add_downsample:
             # diffusers pads (0, 1) on each spatial dim before the stride-2 conv
             x = nn.Conv(
                 self.features, (3, 3), strides=(2, 2),
                 padding=((0, 1), (0, 1)), dtype=self.dtype, param_dtype=jnp.float32,
             )(x)
+            x = _maybe_save(x, self.save_spatial)
         return x
 
 
@@ -103,6 +124,9 @@ class SDXLEncoder(nn.Module):
     norm_num_groups: int = 1
     layers_per_block: int = 2
     dtype: jnp.dtype = jnp.float32
+    # tag conv outputs with H*W <= this for the selective chunk-remat
+    # policy (Options.embedder_chunk_save_spatial); 0 = no tagging
+    save_spatial: int = 0
 
     @nn.compact
     def __call__(self, images, mask: Optional[jnp.ndarray] = None, train: bool = False):
@@ -126,12 +150,15 @@ class SDXLEncoder(nn.Module):
                 add_downsample=i != len(widths) - 1,
                 groups=self.norm_num_groups,
                 dtype=self.dtype,
+                save_spatial=self.save_spatial,
             )(x)
 
         # mid block: resnet -> attention -> resnet
-        x = ResnetBlock(widths[-1], self.norm_num_groups, self.dtype)(x)
+        x = ResnetBlock(widths[-1], self.norm_num_groups, self.dtype,
+                        self.save_spatial)(x)
         x = SpatialSelfAttention(self.norm_num_groups, self.dtype)(x)
-        x = ResnetBlock(widths[-1], self.norm_num_groups, self.dtype)(x)
+        x = ResnetBlock(widths[-1], self.norm_num_groups, self.dtype,
+                        self.save_spatial)(x)
 
         x = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
                          dtype=self.dtype, param_dtype=jnp.float32)(x)

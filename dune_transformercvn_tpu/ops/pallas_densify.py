@@ -36,11 +36,19 @@ from jax.experimental.pallas import tpu as pltpu
 _SMEM_BUDGET_BYTES = 800_000
 
 
-def supports_pallas_densify(num_hits: int, num_channels: int, height: int) -> bool:
+def supports_pallas_densify(
+    num_hits: int, num_channels: int, height: int,
+    space_to_depth: bool = False, width: int = 0,
+) -> bool:
     """Static guard: TPU backend, 8-aligned sublane windows, SMEM fit."""
     if os.environ.get("DUNE_TCVN_NO_PALLAS_DENSIFY"):
         return False   # escape hatch: force the XLA scatter fallback
     smem = 4 * num_hits * (2 + num_channels)   # x, y, and C value columns (f32)
+    if space_to_depth:
+        # the s2d block is [1, H/2, (W/2)*4C]: H/2 rides the sublane axis
+        if height % 16 or height < 16 or width % 2:
+            return False
+        height //= 2
     return (
         jax.default_backend() == "tpu"
         and height % 8 == 0
@@ -50,30 +58,52 @@ def supports_pallas_densify(num_hits: int, num_channels: int, height: int) -> bo
     )
 
 
-def _kernel(num_channels, width, starts_ref, x_ref, y_ref, *rest):
+def _kernel(num_channels, width, s2d, starts_ref, x_ref, y_ref, *rest):
     vrefs, o_ref = rest[:num_channels], rest[num_channels]
     i = pl.program_id(0)
     o_ref[:] = jnp.zeros_like(o_ref)
     start = starts_ref[i]
     end = starts_ref[i + 1]
-    # lane l encodes (w, c) = (l // C, l % C); one iota per channel offset
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, width * num_channels), 2)
+    # plain: lane l encodes (w, c) = (l // C, l % C); s2d: lane l encodes
+    # (w//2, (h%2, w%2, c)) — one iota either way, per-channel offsets added
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, o_ref.shape[2]), 2)
     row8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
 
     def body(j, carry):
         x = x_ref[j]
         y = y_ref[j]
+        if s2d:
+            # Space-to-depth emission (stem_space_to_depth): hit (x, y, c)
+            # lands at sublane x//2, lane (y//2)*4C + (x%2)*2C + (y%2)*C + c
+            # — the exact layout SpaceToDepthStem's reshape/transpose
+            # produces, so emitting it here deletes that full HBM pass over
+            # both image banks (round-4 finding: the transpose pass ate the
+            # stem fusion win, conv_bw_study_s2d_v5e.json).  Validity is
+            # explicit rather than proven through negative floor-division:
+            # invalid hits get their row pushed past every 8-row window,
+            # matching the XLA scatter's drop mode.
+            valid = ((x >= 0) & (x < 2 * o_ref.shape[1])
+                     & (y >= 0) & (y < width)).astype(jnp.int32)
+            xc = jnp.clip(x, 0, 2 * o_ref.shape[1] - 1)
+            yc = jnp.clip(y, 0, width - 1)
+            base = ((yc // 2) * (4 * num_channels)
+                    + (xc % 2) * (2 * num_channels)
+                    + (yc % 2) * num_channels)
+            row = (xc // 2) * valid + (1 - valid) * (o_ref.shape[1] + 8)
+        else:
+            # The row match uses the ORIGINAL x: out-of-range x lands
+            # outside 0..7 relative to the in-bounds window and selects
+            # nothing — exactly the XLA scatter's drop-mode semantics (OOB
+            # y likewise matches no lane).
+            row = x
+            base = y * num_channels
         # Mosaic needs a provably 8-aligned sublane base, so derive it from
-        # the CLAMPED x ((clip(x) // 8) * 8 stays a pure aligned expression;
-        # clipping xb itself defeats the alignment proof).  The row match
-        # uses the ORIGINAL x: out-of-range x lands outside 0..7 relative
-        # to the in-bounds window and selects nothing — exactly the XLA
-        # scatter's drop-mode semantics (OOB y likewise matches no lane).
+        # the CLAMPED row ((clip(row) // 8) * 8 stays a pure aligned
+        # expression; clipping xb itself defeats the alignment proof).
         xb = pl.multiple_of(
-            (jnp.clip(x, 0, o_ref.shape[1] - 1) // 8) * 8, 8
+            (jnp.clip(row, 0, o_ref.shape[1] - 1) // 8) * 8, 8
         )
-        row_sel = (row8 == (x - xb)).astype(jnp.float32)
-        base = y * num_channels
+        row_sel = (row8 == (row - xb)).astype(jnp.float32)
         delta = row_sel * sum(
             (lane == base + c).astype(jnp.float32) * vrefs[c][j]
             for c in range(num_channels)
@@ -85,7 +115,9 @@ def _kernel(num_channels, width, starts_ref, x_ref, y_ref, *rest):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_images", "height", "width", "interpret")
+    jax.jit, static_argnames=(
+        "num_images", "height", "width", "space_to_depth", "interpret",
+    )
 )
 def densify_images_pallas(
     xy: jnp.ndarray,       # [R, 2] int32 pixel coordinates (owner-sorted)
@@ -94,9 +126,12 @@ def densify_images_pallas(
     num_images: int,
     height: int,
     width: int,
+    space_to_depth: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Dense NHWC images ``[num_images, H, W, C]`` from an owner-sorted bank.
+    """Dense NHWC images ``[num_images, H, W, C]`` from an owner-sorted bank
+    (or the 2x2 space-to-depth layout ``[num_images, H/2, W/2, 4C]`` when
+    ``space_to_depth`` — same hits, s2d indexing done in-kernel for free).
 
     Semantics match ``scatter.densify_images`` when the bank is sorted by
     owner with padding at the end (duplicates accumulate; rows outside
@@ -105,22 +140,28 @@ def densify_images_pallas(
     channels = values.shape[-1]
     vals32 = values.astype(jnp.float32)
     columns = [vals32[:, c] for c in range(channels)]
+    if space_to_depth:
+        out_h, out_lanes = height // 2, (width // 2) * 4 * channels
+    else:
+        out_h, out_lanes = height, width * channels
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 + channels,     # starts, x, y, value columns
         grid=(num_images,),
         in_specs=[],
         out_specs=pl.BlockSpec(
-            (1, height, width * channels),
+            (1, out_h, out_lanes),
             lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     flat = pl.pallas_call(
-        functools.partial(_kernel, channels, width),
+        functools.partial(_kernel, channels, width, space_to_depth),
         out_shape=jax.ShapeDtypeStruct(
-            (num_images, height, width * channels), values.dtype
+            (num_images, out_h, out_lanes), values.dtype
         ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts.astype(jnp.int32), xy[:, 0], xy[:, 1], *columns)
+    if space_to_depth:
+        return flat.reshape(num_images, height // 2, width // 2, 4 * channels)
     return flat.reshape(num_images, height, width, channels)

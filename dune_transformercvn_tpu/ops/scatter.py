@@ -21,6 +21,7 @@ def densify_images(
     height: int,
     width: int,
     starts: jnp.ndarray = None,  # optional [num_images+1] CSR offsets
+    space_to_depth: bool = False,
 ) -> jnp.ndarray:
     """Scatter-add COO hits into dense NHWC images ``[num_images, H, W, C]``.
 
@@ -30,13 +31,25 @@ def densify_images(
     than XLA's serialized scatter lowering on a v5e (see
     ``ops/pallas_densify.py``).  Otherwise falls back to the XLA scatter,
     which needs no ordering guarantee.
+
+    ``space_to_depth`` returns the 2x2 space-to-depth layout
+    ``[num_images, H/2, W/2, 4C]`` instead (requires even H, W): the Pallas
+    kernel emits it directly from the hit coordinates at zero extra cost,
+    deleting the full read+write HBM pass an XLA transpose of both image
+    banks costs (which round 4 measured eating the stem fusion win,
+    ``artifacts/conv_bw_study_s2d_v5e.json``); the scatter fallback pays
+    that transpose.
     """
+    if space_to_depth and (height % 2 or width % 2):
+        raise ValueError(f"space_to_depth needs even H, W; got {height}x{width}")
     if starts is not None:
         from .pallas_densify import densify_images_pallas, supports_pallas_densify
 
-        if supports_pallas_densify(xy.shape[0], values.shape[-1], height):
+        if supports_pallas_densify(xy.shape[0], values.shape[-1], height,
+                                   space_to_depth, width):
             return densify_images_pallas(
-                xy, values, starts, num_images, height, width
+                xy, values, starts, num_images, height, width,
+                space_to_depth=space_to_depth,
             )
     # ``mode="drop"`` only drops indices that are out of range AFTER numpy's
     # negative-index wrap; push negative coordinates past the bounds so they
@@ -46,9 +59,17 @@ def densify_images(
         jnp.where(idx < 0, oob, idx) for idx in (owner, xy[:, 0], xy[:, 1])
     )
     images = jnp.zeros((num_images, height, width, values.shape[-1]), values.dtype)
-    return images.at[owner, x, y].add(
+    images = images.at[owner, x, y].add(
         values, mode="drop", unique_indices=False, indices_are_sorted=False
     )
+    if space_to_depth:
+        n, h, w, c = images.shape
+        images = (
+            images.reshape(n, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // 2, w // 2, 4 * c)
+        )
+    return images
 
 
 def pack_rows(

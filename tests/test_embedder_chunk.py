@@ -26,11 +26,14 @@ from dune_transformercvn_tpu.models.sdxl import SDXLEncoder
 
 class _Wrap(nn.Module):
     chunk: int
+    save_spatial: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cnn = SDXLEncoder(output_dim=8, init_block_dim=2, name="emb")
-        return apply_embedder(cnn, x, None, train, self.chunk)
+        cnn = SDXLEncoder(output_dim=8, init_block_dim=2,
+                          save_spatial=self.save_spatial, name="emb")
+        return apply_embedder(cnn, x, None, train, self.chunk,
+                              self.save_spatial)
 
 
 @pytest.fixture(scope="module")
@@ -77,6 +80,42 @@ def test_chunked_gradients_match(bank):
         assert pa == pb
         # chunked grads accumulate per-slice then sum: fp32 reduction-order
         # differences only (forward is exact; see the test above)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-3,
+            err_msg=str(pa),
+        )
+
+
+def test_save_spatial_policy_matches(bank):
+    """The selective chunk-remat policy (save tagged small-spatial conv
+    outputs across the scan; Options.embedder_chunk_save_spatial) changes
+    only WHAT is stored for backward — forward values, the param tree, and
+    gradients are those of the blanket-remat chunked path."""
+    blanket = _Wrap(chunk=4)
+    selective = _Wrap(chunk=4, save_spatial=50 * 35)
+    v = jax.jit(blanket.init)(jax.random.PRNGKey(3), bank)
+    v2 = jax.jit(selective.init)(jax.random.PRNGKey(3), bank)
+    flat_a = jax.tree_util.tree_flatten_with_path(v)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(v2)[0]
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(selective.apply)(v, bank)),
+        np.asarray(jax.jit(blanket.apply)(v, bank)),
+    )
+
+    def loss(params, model):
+        y = model.apply(params, bank)
+        return jnp.sum(y * jnp.arange(y.size).reshape(y.shape))
+
+    g_blanket = jax.jit(lambda p: jax.grad(loss)(p, blanket))(v)
+    g_sel = jax.jit(lambda p: jax.grad(loss)(p, selective))(v)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_blanket)[0],
+        jax.tree_util.tree_flatten_with_path(g_sel)[0],
+    ):
+        assert pa == pb
+        # saved-vs-recomputed residuals: same math, fp32 rounding only
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-3,
             err_msg=str(pa),

@@ -188,6 +188,62 @@ def test_pallas_densify_matches_xla_scatter(C):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
 
 
+@pytest.mark.parametrize("C", [1, 3])
+def test_pallas_densify_s2d_matches(C):
+    """The kernel's space-to-depth emission == densify + the s2d transform
+    SpaceToDepthStem would apply, including drop-mode OOB handling (the
+    in-kernel validity logic differs from the plain path's OOB arithmetic,
+    so the negative/overflow cases are re-exercised here)."""
+    from dune_transformercvn_tpu.ops.pallas_densify import densify_images_pallas
+
+    rng = np.random.default_rng(7)
+    N, H, W = 3, 16, 12
+    counts = [6, 0, 8]
+    owner = np.repeat(np.arange(N), counts).astype(np.int32)
+    n = owner.size
+    xy = np.stack([rng.integers(0, H, n), rng.integers(0, W, n)], 1).astype(np.int32)
+    xy[1] = xy[0]                            # duplicate pixel -> accumulate
+    xy[2] = (H + 4, 2)                       # out-of-range x -> dropped
+    xy[3] = (3, W + 5)                       # out-of-range y -> dropped
+    xy[5] = (-2, 4)                          # negative x -> dropped
+    xy[6] = (7, -1)                          # negative y -> dropped
+    xy[7] = (H - 1, W - 1)                   # far corner -> kept
+    R = 18
+    xy_full = np.concatenate([xy, np.zeros((R - n, 2), np.int32)])
+    owner_full = np.concatenate([owner, np.full(R - n, N, np.int32)])
+    vals = rng.normal(size=(R, C)).astype(np.float32)
+    starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+
+    ref = densify_images(
+        jnp.asarray(xy_full), jnp.asarray(vals), jnp.asarray(owner_full), N, H, W
+    )
+    ref = np.asarray(ref).reshape(N, H // 2, 2, W // 2, 2, C).transpose(
+        0, 1, 3, 2, 4, 5).reshape(N, H // 2, W // 2, 4 * C)
+    out = densify_images_pallas(
+        jnp.asarray(xy_full), jnp.asarray(vals), jnp.asarray(starts),
+        N, H, W, space_to_depth=True, interpret=True,
+    )
+    assert out.shape == (N, H // 2, W // 2, 4 * C)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6)
+
+
+def test_densify_s2d_fallback_matches():
+    """densify_images(space_to_depth=True) without CSR starts (the XLA
+    scatter fallback) == plain densify + explicit transpose."""
+    rng = np.random.default_rng(9)
+    N, H, W, C, R = 2, 16, 12, 3, 20
+    xy = np.stack([rng.integers(-2, H + 2, R), rng.integers(-2, W + 2, R)], 1)
+    owner = rng.integers(0, N + 1, R)
+    vals = rng.normal(size=(R, C)).astype(np.float32)
+    args = (jnp.asarray(xy.astype(np.int32)), jnp.asarray(vals),
+            jnp.asarray(owner.astype(np.int32)), N, H, W)
+    plain = np.asarray(densify_images(*args))
+    expected = plain.reshape(N, H // 2, 2, W // 2, 2, C).transpose(
+        0, 1, 3, 2, 4, 5).reshape(N, H // 2, W // 2, 4 * C)
+    out = densify_images(*args, space_to_depth=True)
+    np.testing.assert_array_equal(np.asarray(out), expected)
+
+
 def test_batcher_emits_csr_starts():
     """The batcher's event/prong CSR offsets index an owner-sorted bank."""
     import os, tempfile

@@ -89,6 +89,43 @@ def test_odd_extent_falls_back(image):
     )
 
 
+def _to_s2d(x):
+    n, h, w, c = x.shape
+    return (
+        x.reshape(n, h // 2, 2, w // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, h // 2, w // 2, 4 * c)
+    )
+
+
+def test_stem_pre_s2d_input_matches(image):
+    """With ``in_channels`` set, the stem recognises input already in s2d
+    layout (as emitted by the Pallas densify kernel) and skips its own
+    reshape/transpose — bit-identical to transforming internally."""
+    s2d = SpaceToDepthStem(16, in_channels=3)
+    v = jax.jit(s2d.init)(jax.random.PRNGKey(4), image)
+    y_internal = jax.jit(s2d.apply)(v, image)
+    y_pre = jax.jit(s2d.apply)(v, _to_s2d(image))
+    np.testing.assert_array_equal(np.asarray(y_pre), np.asarray(y_internal))
+
+
+def test_densenet_pre_s2d_input(image):
+    """The full DenseNet accepts pre-s2d images when stem_in_channels is
+    configured (network.py emits them straight from the densify when the
+    toggle is on), with the identical param tree."""
+    kw = dict(
+        output_dim=8, initial_features=16, growth_rate=8,
+        batch_norm_size=2, block_config=(1, 1), stem_space_to_depth=True,
+    )
+    net = DenseNet(**kw, stem_in_channels=3)
+    v = jax.jit(lambda r, x: net.init(r, x, None, False))(
+        jax.random.PRNGKey(5), image
+    )
+    y_nhwc = jax.jit(lambda v, x: net.apply(v, x, None, False))(v, image)
+    y_pre = jax.jit(lambda v, x: net.apply(v, x, None, False))(v, _to_s2d(image))
+    np.testing.assert_array_equal(np.asarray(y_pre), np.asarray(y_nhwc))
+
+
 def test_densenet_toggle_matches(image):
     kw = dict(
         output_dim=8, initial_features=16, growth_rate=8,

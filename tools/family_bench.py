@@ -182,9 +182,22 @@ def run_family(family: str, batch_sizes: list[int], rounds: int,
         return predict_c
 
     # --train_only skips re-measuring inference (keeps existing rows).
+    # SDXL's OOM fallback ladder descends through chunk sizes (round 4
+    # stopped at chunk8 and recorded b64 DOES NOT FIT under the old
+    # overbroad OOM classifier; smaller chunks cap live activations
+    # further, so each rung is a real additional chance to fit).
     for bsz in ([] if train_only else batch_sizes):
+        attempts = ["full"]
+        if family == "sdxl":
+            # every rung divides both banks at the measured batch sizes
+            # (event bank = bsz in {16, 64}; prong slots are multiples of
+            # 128); apply_embedder clamps chunk > bank to one scan step
+            attempts += [32, 16, 8, 4]
         key, fn = f"inference_b{bsz}_events_per_second", predict
-        for attempt in ("full", "chunk8"):
+        for attempt in attempts:
+            if attempt != "full":
+                key = f"inference_b{bsz}_chunk{attempt}_events_per_second"
+                fn = chunked_predict(attempt)
             batch = device_batch(bsz)
             try:
                 eps = _inference_eps(
@@ -199,11 +212,7 @@ def run_family(family: str, batch_sizes: list[int], rounds: int,
                 print(f"#   inference b{bsz} [{attempt}]: {verdict}",
                       file=sys.stderr, flush=True)
                 del batch
-                if family == "sdxl" and attempt == "full":
-                    key, fn = (f"inference_b{bsz}_chunk8_events_per_second",
-                               chunked_predict(8))
-                    continue
-                break
+                continue
             del batch
             fam_rec[key] = round(eps, 1)
             print(f"#   inference b{bsz} [{attempt}]: {eps:.0f} ev/s",

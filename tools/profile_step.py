@@ -115,6 +115,9 @@ def main():
     parser.add_argument("--events", type=int, default=192)
     parser.add_argument("--top", type=int, default=12)
     parser.add_argument("--embedder", default="dense")
+    parser.add_argument("--chunk", type=int, default=0,
+                        help="Options.embedder_chunk (sdxl: 16 is the only "
+                             "recipe that fits training on one chip)")
     args = parser.parse_args()
 
     import numpy as np
@@ -139,6 +142,8 @@ def main():
     options = Options.load(os.path.join(
         REPO, "option_files", "fdhd_beam_2018prod_2023_08_07.json"))
     options.compute_dtype = "bfloat16"
+    if args.chunk:
+        options.embedder_chunk = args.chunk
     dataset, _, _, model, norm = _synthetic_setup(
         options, num_events=args.events, embedder=args.embedder)
     norm = {k: jnp.asarray(v) for k, v in norm.items()}
