@@ -273,6 +273,12 @@ class Options:
         # weight-grad fusions as the step's largest roofline residual.
         self.stem_space_to_depth: bool = False
 
+        # Dense/coo families: transitions average-pool BEFORE the 1x1 conv.
+        # The two ops are linear and commute, so the map is the same (fp
+        # rounding aside) with 4x fewer conv FLOPs and one less full-
+        # resolution HBM pass per transition; same parameter tree.
+        self.transition_pool_first: bool = False
+
         # Cross-replica synchronized batch-norm statistics (the reference runs
         # unsynced per-GPU BN under DDP; sync keeps replicated state exact).
         self.sync_batch_norm: bool = True

@@ -48,6 +48,9 @@ class CooStemDenseNet(nn.Module):
     block_config: Sequence[int] = (6, 12, 24, 16)
     dropout: float = 0.0
     remat: bool = False
+    # transitions pool before the 1x1 conv (linear commute) — see
+    # densenet.Transition.pool_first
+    transition_pool_first: bool = False
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
 

@@ -127,6 +127,15 @@ class Transition(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
+    # The 1x1 conv and the 2x2/2 average pool are both linear, so they
+    # commute: pooling FIRST computes the same map (fp rounding aside) with
+    # 4x fewer conv FLOPs and without materializing the full-resolution conv
+    # output at all — the pool fuses into the preceding normalize/PReLU
+    # chain, deleting a full write+read HBM pass per transition (the
+    # round-5 registered pass-elimination experiment; the BN-chain loop
+    # fusions themselves are already HBM-saturated, PARITY "mega-fusion"
+    # entry).  Same parameter tree either way.
+    pool_first: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
@@ -135,6 +144,10 @@ class Transition(nn.Module):
             x, mask, use_running_average=not train
         )
         x = PReLU(c_in)(x)
+        if self.pool_first:
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            return nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                           param_dtype=jnp.float32)(x)
         x = nn.Conv(self.features, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
@@ -158,6 +171,9 @@ class DenseNet(nn.Module):
     # configured pixel-channel count; lets the s2d stem recognise input
     # already emitted in s2d layout by the Pallas densify kernel
     stem_in_channels: Optional[int] = None
+    # transitions pool before the 1x1 conv (linear commute, 4x fewer conv
+    # FLOPs, one less full-res HBM pass each) — see Transition.pool_first
+    transition_pool_first: bool = False
     dtype: jnp.dtype = jnp.float32
     axis_name: Optional[str] = None
 
@@ -212,7 +228,11 @@ def densenet_post_stem(mod, x, mask, train, bottleneck_cls, kw):
         features += num_layers * mod.growth_rate
         if i != len(mod.block_config) - 1:
             features //= 2
-            x = Transition(features, **kw)(x, mask, train)
+            x = Transition(
+                features,
+                pool_first=getattr(mod, "transition_pool_first", False),
+                **kw,
+            )(x, mask, train)
 
     x = MaskedBatchNorm(features, axis_name=mod.axis_name)(
         x, mask, use_running_average=not train

@@ -95,6 +95,9 @@ class ModelConfig:
     # 2x2 space-to-depth input — same parameters, same map, better MXU
     # tiling (see models.densenet.SpaceToDepthStem).
     stem_space_to_depth: bool = False
+    # Dense/coo transitions pool before the 1x1 conv (linear commute; see
+    # models.densenet.Transition.pool_first).
+    transition_pool_first: bool = False
     # Reference quirk (neutrino_full_base_network.py:107): prongs reuse the
     # *event* position embedding; set True to use the dedicated prong vector.
     fix_prong_position_embedding: bool = False
@@ -180,6 +183,8 @@ class ModelConfig:
                 getattr(options, "embedder_chunk_save_spatial", 0) or 0),
             stem_space_to_depth=bool(
                 getattr(options, "stem_space_to_depth", False)),
+            transition_pool_first=bool(
+                getattr(options, "transition_pool_first", False)),
         )
 
     @property
@@ -206,6 +211,7 @@ def _embedder_spec(cfg: ModelConfig, output_dim: int):
             remat=cfg.remat_cnn,
             stem_space_to_depth=cfg.stem_space_to_depth,
             stem_in_channels=cfg.cnn_input_channels,
+            transition_pool_first=cfg.transition_pool_first,
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,
         )
@@ -234,6 +240,7 @@ def _embedder_spec(cfg: ModelConfig, output_dim: int):
             block_config=cfg.densenet_structure,
             dropout=cfg.dropout,
             remat=cfg.remat_cnn,
+            transition_pool_first=cfg.transition_pool_first,
             dtype=cfg.dtype,
             axis_name=cfg.axis_name,
         )

@@ -167,6 +167,12 @@ def main():
              "stem fusions' residual); writes conv_bw_study_s2d_v5e.json",
     )
     parser.add_argument(
+        "--pool-first", action="store_true",
+        help="enable transition_pool_first (pool commutes ahead of each "
+             "transition's 1x1 conv: 4x fewer conv FLOPs, one less full-"
+             "res HBM pass); writes conv_bw_study_poolfirst_v5e.json",
+    )
+    parser.add_argument(
         "--tracedir", default="",
         help="re-analyze an existing trace instead of running the chip "
              "(the trace must be from the same --batch/--steps run)",
@@ -202,6 +208,7 @@ def main():
     options.compute_dtype = "bfloat16"
     options.batch_size = args.batch
     options.stem_space_to_depth = bool(args.s2d)
+    options.transition_pool_first = bool(args.pool_first)
     dataset, _, _, model, norm = _synthetic_setup(
         options, num_events=args.events)
     norm = {k: jnp.asarray(v) for k, v in norm.items()}
@@ -283,6 +290,7 @@ def analyze(tracedir, args, device, step_ms=None):
         "bench": "conv_bw_study", "device": device,
         "batch": args.batch, "steps": args.steps,
         "stem_space_to_depth": bool(getattr(args, "s2d", False)),
+        "transition_pool_first": bool(getattr(args, "pool_first", False)),
         "train_step_ms": round(step_ms, 3) if step_ms else None,
         "bw_spec_gbps": HBM_GBPS, "mxu_peak_tflops": MXU_TFLOPS,
         "conv_total_ms_per_step": agg["t"],
@@ -301,6 +309,8 @@ def analyze(tracedir, args, device, step_ms=None):
                  "residuals (the unexplained slice)"),
     }
     suffix = "_s2d" if getattr(args, "s2d", False) else ""
+    if getattr(args, "pool_first", False):
+        suffix += "_poolfirst"
     out = os.path.join(REPO, "artifacts", f"conv_bw_study{suffix}_v5e.json")
     with open(out, "w") as f:
         json.dump(record, f, indent=1)
