@@ -210,6 +210,134 @@ def stage_profile(args) -> None:
 
 
 # --------------------------------------------------------------------------
+# stage: roofline — per-fusion physical-bytes decomposition of the chunked
+# step (the SDXL analogue of tools/conv_bw_study.py).  The `while` wrapper
+# ops (the chunk scans) are EXCLUDED from the sum: their trace duration
+# includes their body fusions, which appear again as separate events with
+# occurrence counts — in the round-5 profile the non-while ops sum to the
+# measured step time to <1%, so they are the right modeling universe.
+# --------------------------------------------------------------------------
+
+def stage_roofline(args) -> None:
+    import shutil
+
+    import jax
+
+    from bench import _fetch_scalar, _timed_best
+    from tools.conv_bw_study import (
+        _BYTES, HBM_GBPS, MXU_TFLOPS, event_model, hbm_bytes, parse_operands,
+    )
+    from tools.profile_step import device_op_stats
+
+    bsz, chunk = args.batch, args.chunk
+    options, model, norm, batch = _setup(bsz, chunk)
+    compiled, state = _train_pieces(options, model, norm, batch)
+    state, warm = compiled(state, batch)
+    _fetch_scalar(warm["train_loss"])
+
+    holder = {"state": state}
+
+    def one_step():
+        holder["state"], m = compiled(holder["state"], batch)
+        return m["train_loss"]
+
+    step_ms = _timed_best(one_step, rounds=args.rounds) / args.rounds * 1e3
+
+    tracedir = "/tmp/sdxl_roofline"
+    shutil.rmtree(tracedir, ignore_errors=True)
+    jax.profiler.start_trace(tracedir)
+    m = None
+    for _ in range(args.trace_steps):
+        holder["state"], m = compiled(holder["state"], batch)
+    _fetch_scalar(m["train_loss"])
+    jax.profiler.stop_trace()
+
+    stats = device_op_stats(tracedir)
+
+    def logical_bytes(long_name: str) -> int:
+        # same operand set event_model charges (S(1) VMEM rows excluded),
+        # but WITHOUT tile padding — the lane-padding tax is phys - logical
+        n = 0
+        for dtype, dims, layout in parse_operands(long_name):
+            if hbm_bytes(dtype, dims, layout) == 0:
+                continue
+            e = 1
+            for d in dims:
+                e *= d
+            n += e * _BYTES[dtype]
+        return n
+
+    rows = []
+    agg = {"t": 0.0, "t_model": 0.0, "t_bw": 0.0, "t_mxu": 0.0,
+           "mxu_bound_t": 0.0, "sat_t": 0.0, "resid": 0.0,
+           "phys_gb": 0.0, "logical_gb": 0.0, "pad_ms": 0.0}
+    for name, v in sorted(stats.items(), key=lambda kv: -kv[1]["dur"]):
+        if (v["category"] or "") == "while":
+            continue
+        row = {"name": name.lstrip("%")[:60], "category": v["category"]}
+        row.update(event_model(v, args.trace_steps))
+        occ = max(1, v.get("occurrences", args.trace_steps))
+        logical = (logical_bytes(v["long_name"]) * occ
+                   // max(1, args.trace_steps))
+        row["logical_bytes"] = logical
+        # what the bw term would be with zero tile padding: the lane-
+        # padding tax of this op (only meaningful where hbm-bound)
+        t_bw_logical = logical / (HBM_GBPS * 1e9) * 1e3
+        row["lane_pad_tax_ms"] = (
+            max(0.0, min(row["t_bw_model_ms"], row["t_ms_per_step"])
+                - max(t_bw_logical, row["t_mxu_model_ms"]))
+            if row["bound"] == "hbm" else 0.0)
+        rows.append(row)
+        agg["t"] += row["t_ms_per_step"]
+        agg["t_model"] += row["t_model_ms"]
+        agg["t_bw"] += row["t_bw_model_ms"]
+        agg["t_mxu"] += row["t_mxu_model_ms"]
+        agg["resid"] += max(0.0, row["residual_ms"])
+        agg["phys_gb"] += row["hbm_bytes"] / 1e9
+        agg["logical_gb"] += logical / 1e9
+        agg["pad_ms"] += row["lane_pad_tax_ms"]
+        if row["bound"] == "mxu":
+            agg["mxu_bound_t"] += row["t_ms_per_step"]
+        elif row["residual_frac"] < 0.10:
+            agg["sat_t"] += row["t_ms_per_step"]
+
+    for row in rows[: args.top]:
+        print(f"# {row['name'][:34]:<34} {row['t_ms_per_step']:7.3f} ms "
+              f"phys {row['physical_gbps']:5.0f} GB/s "
+              f"model {row['t_model_ms']:6.3f} ms "
+              f"resid {row['residual_ms']:+6.3f} "
+              f"pad {row['lane_pad_tax_ms']:5.3f} [{row['bound']}]",
+              file=sys.stderr, flush=True)
+
+    record = {
+        "train_ms_per_step": round(step_ms, 2),
+        "bw_spec_gbps": HBM_GBPS, "mxu_peak_tflops": MXU_TFLOPS,
+        "modeled_ops_ms": round(agg["t"], 2),
+        "model_floor_ms": round(agg["t_model"], 2),
+        "bw_term_ms": round(agg["t_bw"], 2),
+        "mxu_term_ms": round(agg["t_mxu"], 2),
+        "time_mxu_bound_ms": round(agg["mxu_bound_t"], 2),
+        "time_hbm_saturated_ms": round(agg["sat_t"], 2),
+        "residual_ms": round(agg["resid"], 2),
+        "physical_gb_per_step": round(agg["phys_gb"], 2),
+        "logical_gb_per_step": round(agg["logical_gb"], 2),
+        "lane_pad_tax_ms": round(agg["pad_ms"], 2),
+        "top_ops": rows[: args.top],
+        "note": ("non-while ops only (while wrappers double-count their "
+                 "scan bodies); t_model = max(physical bytes/BW, XLA "
+                 "model_flops/MXU); lane_pad_tax_ms = bw-term excess of "
+                 "tile-padded physical bytes over logical bytes on "
+                 "hbm-bound ops (the C=64-on-128-lanes tax)"),
+    }
+    _merge(args.out, {f"roofline_b{bsz}_chunk{chunk}": record})
+    print(f"# roofline b{bsz} chunk{chunk}: step {step_ms:.1f} ms, modeled "
+          f"{agg['t']:.1f} ms, floor {agg['t_model']:.1f} ms, residual "
+          f"{agg['resid']:.1f} ms, lane-pad tax {agg['pad_ms']:.1f} ms "
+          f"({agg['phys_gb']:.1f} GB phys vs {agg['logical_gb']:.1f} GB "
+          f"logical)", file=sys.stderr)
+
+
+# --------------------------------------------------------------------------
 # stage: one train-sweep rung (subprocess target)
 # --------------------------------------------------------------------------
 
@@ -329,7 +457,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("stage", nargs="?", default="all",
                         choices=["all", "profile", "sweep", "inference",
-                                 "_profile", "_train_rung", "_inference_rung"])
+                                 "roofline", "_profile", "_train_rung",
+                                 "_inference_rung", "_roofline"])
+    parser.add_argument("--top", type=int, default=14)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--chunk", type=int, default=16)
     parser.add_argument("--rounds", type=int, default=6)
@@ -355,6 +485,8 @@ def main():
         return stage_train_rung(args)
     if args.stage == "_inference_rung":
         return stage_inference_rung(args)
+    if args.stage == "_roofline":
+        return stage_roofline(args)
 
     if args.stage in ("all", "profile"):
         rc = _spawn("_profile", args.batch, args.chunk, args.rounds, args.out)
@@ -370,6 +502,8 @@ def main():
     if args.stage in ("all", "inference"):
         for chunk in (int(c) for c in args.inference_chunks.split(",") if c):
             _spawn("_inference_rung", 64, chunk, args.rounds, args.out)
+    if args.stage in ("all", "roofline"):
+        _spawn("_roofline", args.batch, args.chunk, args.rounds, args.out)
     print(f"# artifact -> {args.out}", file=sys.stderr)
 
 
