@@ -38,11 +38,16 @@ VARIANTS = ("pid", "embeddings", "combined")
 # `pixel_maps.shape[0] - 1` drives the graph), so a 3-prong event pays 4
 # CNN passes in LArSoft; a static max_prongs graph pays 21.  Exporting a
 # small ladder of static capacities recovers the serving cost scaling with
-# zero dynamic shapes: the caller picks the smallest bucket >= Npng.
-# No rung below 8: artifacts/export_buckets_v5e.json measured P=4 SLOWER
-# than P=8 (1.55 vs 1.43 ms/event — same sublane quantum, worse conv
-# strategy), so a 4-rung only adds export cost and a serving regression.
-DEFAULT_PRONG_BUCKETS = (8, 12)
+# zero dynamic shapes: the caller picks a bucket >= Npng.
+# Rung cost is NOT monotone in capacity: XLA's conv-strategy choice flips
+# between compilations of nearby shapes (artifacts/export_buckets_v5e.json:
+# P=8 measured 1.43 ms/event in round 4 but 2.6 ms at round-5 HEAD, while
+# P=4 reproduced at 1.55 both times).  The ladder therefore keeps the
+# small rung and dispatch is COST-AWARE: `export_model(bench_buckets=True)`
+# measures each rung on the serving backend and records `bucket_ms` in the
+# export meta; `select_bucket` and the C++ loader pick the cheapest
+# eligible rung, falling back to smallest-capacity when no costs exist.
+DEFAULT_PRONG_BUCKETS = (4, 8, 12)
 
 
 def _normalize_buckets(
@@ -56,11 +61,53 @@ def _normalize_buckets(
     return tuple(sorted(buckets))
 
 
-def select_bucket(prong_buckets: Sequence[int], num_prongs: int) -> int:
-    """Serving-side dispatch rule: smallest exported capacity >=
-    ``num_prongs`` (mirrored in C++ by native/pjrt_loader.cc)."""
+def select_bucket(prong_buckets: Sequence[int], num_prongs: int,
+                  bucket_ms: Dict[int, float] | None = None) -> int:
+    """Serving-side dispatch rule (mirrored in C++ by
+    native/pjrt_loader.cc): among exported capacities >= ``num_prongs``,
+    pick the *cheapest* by measured per-event cost when every eligible
+    rung has one (``bucket_ms`` from the export meta's ``bench_buckets``
+    pass; ties break to the smaller capacity), else the smallest
+    capacity.  Cost-aware selection exists because rung cost is not
+    monotone in capacity — see DEFAULT_PRONG_BUCKETS."""
     eligible = [p for p in prong_buckets if p >= num_prongs]
-    return min(eligible) if eligible else max(prong_buckets)
+    if not eligible:
+        return max(prong_buckets)
+    if bucket_ms and all(p in bucket_ms for p in eligible):
+        return min(eligible, key=lambda p: (bucket_ms[p], p))
+    return min(eligible)
+
+
+def _time_bucket_ms(fn, example_pixels, example_n, *,
+                    rounds: int = 96, repeats: int = 4) -> float:
+    """Per-event device ms of one rung's pid graph, best-of-``repeats``
+    windows of ``rounds`` back-to-back calls.  Completion barrier is a
+    fresh device->host scalar fetch and the measured fetch floor is
+    subtracted — ``jax.block_until_ready`` returns early on the axon
+    backend (see bench.py ``_timed_best``, the canonical protocol)."""
+    import time
+
+    jfn = jax.jit(fn)
+
+    def fetch(out):
+        return float(jax.device_get(jax.tree_util.tree_leaves(out)[0]
+                                    .ravel()[0]))
+
+    out = jfn(example_pixels, example_n)
+    fetch(out)
+    floor = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        fetch(out)
+        floor = min(floor, time.perf_counter() - start)
+    best = float("inf")
+    for _ in range(repeats):
+        start = time.perf_counter()
+        for _ in range(rounds):
+            out = jfn(example_pixels, example_n)
+        fetch(out)
+        best = min(best, time.perf_counter() - start)
+    return round(max(best - floor, 1e-9) / rounds * 1e3, 4)
 
 
 def _fold_event_probs(probs: jnp.ndarray, num_classes: int) -> jnp.ndarray:
@@ -147,6 +194,7 @@ def export_model(
     prefix: str = "transformercvn",
     platforms: Tuple[str, ...] | None = None,
     prong_buckets: Sequence[int] | None = None,
+    bench_buckets: bool = False,
 ) -> Dict[str, str]:
     """Serialize the three inference graphs; returns {variant[_pP]: path}.
 
@@ -173,6 +221,13 @@ def export_model(
     ``platforms`` lowers for specific backends (e.g. ``("tpu",)`` when
     exporting from a CPU host for the LArSoft TPU hook); ``None`` uses
     the current default backend.
+
+    ``bench_buckets`` additionally times each rung's pid graph on the
+    CURRENT backend and records per-event ``bucket_ms`` in the export
+    meta; serving-side dispatch (``select_bucket`` / the C++ loader)
+    then picks the cheapest eligible rung instead of the smallest —
+    rung cost is not monotone in capacity (see DEFAULT_PRONG_BUCKETS).
+    Run it on the serving backend for the costs to be meaningful.
     """
     cfg = model.cfg
     os.makedirs(output_dir, exist_ok=True)
@@ -187,6 +242,7 @@ def export_model(
     exported_platforms = None
     output_avals: Dict[str, list] = {}
     bucket_files: Dict[str, Dict[str, str]] = {v: {} for v in VARIANTS}
+    bucket_ms: Dict[str, float] = {}
     for bucket in buckets:
         bucket_model = (
             model if bucket == cfg.max_prongs
@@ -215,6 +271,9 @@ def export_model(
                 f.write(exported.mlir_module_serialized)
             paths[variant + suffix] = path
             bucket_files[variant][str(bucket)] = name
+            if bench_buckets and variant == "pid":
+                bucket_ms[str(bucket)] = _time_bucket_ms(
+                    closed, example_pixels, example_n)
 
     with open(os.path.join(output_dir, f"{prefix}_export_meta.json"), "w") as f:
         json.dump(
@@ -226,6 +285,9 @@ def export_model(
                 "max_prongs": cfg.max_prongs,
                 "prong_buckets": list(buckets),
                 "bucket_files": bucket_files,
+                **({"bucket_ms": bucket_ms,
+                    "bucket_ms_platform": jax.default_backend()}
+                   if bucket_ms else {}),
                 "num_event_classes_folded": 4,
                 "num_prong_classes": cfg.num_prong_classes,
                 "hidden_dim": cfg.hidden_dim,
@@ -235,10 +297,11 @@ def export_model(
                     "combined": "pid outputs + embeddings outputs",
                 },
                 "calling_convention": (
-                    "pick the smallest bucket P >= num_prongs from "
-                    "prong_buckets; pad prong maps to P rows ([1+P, C, H, W] "
-                    "input), pass the real count as num_prongs; read the "
-                    "first num_prongs output rows"
+                    "pick a bucket P >= num_prongs from prong_buckets — the "
+                    "cheapest per bucket_ms when present, else the smallest "
+                    "(select_bucket / the C++ loader); pad prong maps to P "
+                    "rows ([1+P, C, H, W] input), pass the real count as "
+                    "num_prongs; read the first num_prongs output rows"
                 ),
             },
             f, indent=2,
@@ -256,6 +319,7 @@ def load_exported(path: str):
 def export_run_dir(run_dir: str, output_dir=None, checkpoint: str = "best",
                    embedder: str = None,
                    prong_buckets: Sequence[int] | None = DEFAULT_PRONG_BUCKETS,
+                   bench_buckets: bool = False,
                    ) -> Dict[str, str]:
     """The CreateCompiled flow: run dir -> three serialized graphs."""
     from .config import Options
@@ -289,7 +353,8 @@ def export_run_dir(run_dir: str, output_dir=None, checkpoint: str = "best",
             variables = jax.jit(lambda v: fold_eval_batchnorm(v)[0])(variables)
     output_dir = output_dir or os.path.join(run_dir, "export")
     return export_model(trainer.model, variables, state.norm, output_dir,
-                        prong_buckets=prong_buckets)
+                        prong_buckets=prong_buckets,
+                        bench_buckets=bench_buckets)
 
 
 def check_exported(path: str, max_prongs: int, channels: int,
@@ -330,6 +395,12 @@ def main():  # pragma: no cover
                              "capacity is always added), or 'none' for the "
                              f"single max_prongs graph; default "
                              f"{','.join(map(str, DEFAULT_PRONG_BUCKETS))}")
+    parser.add_argument("--bench_buckets", action="store_true",
+                        help="time each rung's pid graph on the current "
+                             "backend and record per-event bucket_ms in the "
+                             "export meta; the loader then dispatches to the "
+                             "cheapest eligible rung (run on the serving "
+                             "backend)")
     args = parser.parse_args()
     embedder = (
         "sparse" if args.sparse else "sdxl" if args.sdxl else args.embedder
@@ -341,7 +412,8 @@ def main():  # pragma: no cover
     else:
         buckets = tuple(int(p) for p in args.buckets.split(","))
     paths = export_run_dir(args.run_dir, args.output_dir, args.checkpoint,
-                           embedder, prong_buckets=buckets)
+                           embedder, prong_buckets=buckets,
+                           bench_buckets=args.bench_buckets)
     for variant, path in paths.items():
         print(f"{variant}: {path}")
 

@@ -18,9 +18,10 @@
 //               plugin, or this sandbox's tunnel plugin)
 //   model       either an explicit `*.stablehlo.mlirbc` artifact (input
 //               geometry = the meta's "input_shape"), or a variant prefix
-//               like `/dir/transformercvn_pid` — the loader then picks the
-//               smallest exported prong-capacity bucket P >= num_prongs
-//               from the meta's "prong_buckets" ladder and loads
+//               like `/dir/transformercvn_pid` — the loader then picks an
+//               exported prong-capacity bucket P >= num_prongs from the
+//               meta's "prong_buckets" ladder (the cheapest per the meta's
+//               measured "bucket_ms" when present, else the smallest) and loads
 //               `<prefix>_pP.stablehlo.mlirbc` (the full capacity keeps
 //               the unsuffixed name), so serving cost scales with the real
 //               prong count instead of max_prongs (the static-shape
@@ -45,6 +46,7 @@
 #include <cstring>
 #include <dlfcn.h>
 #include <fstream>
+#include <map>
 #include <string>
 #include <vector>
 
@@ -103,6 +105,32 @@ static bool EndsWith(const std::string& s, const std::string& suffix) {
          s.compare(s.size() - suffix.size(), suffix.size(), suffix) == 0;
 }
 
+// Pull the optional "bucket_ms": {"4": 1.55, "8": 2.62, ...} object out of
+// the export metadata (written by export.py `bench_buckets`): measured
+// per-event ms of each rung's pid graph on the serving backend.
+static std::map<int64_t, double> ParseBucketCosts(const std::string& json) {
+  std::map<int64_t, double> costs;
+  size_t key = json.find("\"bucket_ms\"");
+  if (key == std::string::npos) return costs;
+  size_t open = json.find('{', key);
+  size_t close = json.find('}', open);
+  if (open == std::string::npos || close == std::string::npos) return costs;
+  size_t p = open + 1;
+  while (p < close) {
+    size_t q1 = json.find('"', p);
+    if (q1 == std::string::npos || q1 >= close) break;
+    size_t q2 = json.find('"', q1 + 1);
+    if (q2 == std::string::npos || q2 >= close) break;
+    size_t colon = json.find(':', q2);
+    if (colon == std::string::npos || colon >= close) break;
+    const long long bucket = std::strtoll(json.c_str() + q1 + 1, nullptr, 10);
+    costs[bucket] = std::strtod(json.c_str() + colon + 1, nullptr);
+    size_t comma = json.find(',', colon);
+    p = (comma == std::string::npos || comma > close) ? close : comma + 1;
+  }
+  return costs;
+}
+
 // Minimal protobuf writer for the default xla.CompileOptionsProto:
 //   field 3 (len-delim): ExecutableBuildOptionsProto {
 //     field 4 (varint): num_replicas = 1
@@ -145,20 +173,42 @@ int main(int argc, char** argv) {
   }
   std::string artifact_path = model_spec;
   if (!EndsWith(model_spec, ".mlirbc")) {
-    // Variant-prefix mode: pick the smallest exported prong-capacity
-    // bucket >= num_prongs (export.py `select_bucket`'s C++ mirror).
+    // Variant-prefix mode: pick an exported prong-capacity bucket >=
+    // num_prongs (export.py `select_bucket`'s C++ mirror).  When the meta
+    // carries measured per-rung costs ("bucket_ms", export.py
+    // `bench_buckets`) for every eligible rung, dispatch to the CHEAPEST
+    // one (rung cost is not monotone in capacity — XLA's conv-strategy
+    // choice flips between compilations of nearby shapes; ties break to
+    // the smaller capacity).  Otherwise: the smallest eligible rung.
     const std::vector<int64_t> buckets = ParseIntArray(meta, "prong_buckets");
+    const std::map<int64_t, double> costs = ParseBucketCosts(meta);
     const int64_t max_prongs = pixel_dims[0] - 1;
-    int64_t chosen = max_prongs;
-    for (int64_t b : buckets)  // ladder is written sorted ascending
-      if (b >= num_prongs && b < chosen) chosen = b;
+    std::vector<int64_t> eligible;
+    for (int64_t b : buckets)
+      if (b >= num_prongs) eligible.push_back(b);
+    if (eligible.empty()) eligible.push_back(max_prongs);
+    bool cost_aware = !costs.empty();
+    for (int64_t b : eligible)
+      if (costs.find(b) == costs.end()) { cost_aware = false; break; }
+    int64_t chosen = eligible[0];
+    for (int64_t b : eligible) {
+      if (cost_aware ? (costs.at(b) < costs.at(chosen) ||
+                        (costs.at(b) == costs.at(chosen) && b < chosen))
+                     : (b < chosen))
+        chosen = b;
+    }
     artifact_path = model_spec +
                     (chosen == max_prongs ? std::string("")
                                           : "_p" + std::to_string(chosen)) +
                     ".stablehlo.mlirbc";
     pixel_dims[0] = 1 + chosen;
-    std::fprintf(stderr, "num_prongs %d -> bucket %lld (%s)\n", num_prongs,
-                 static_cast<long long>(chosen), artifact_path.c_str());
+    if (cost_aware)
+      std::fprintf(stderr, "num_prongs %d -> bucket %lld [cost-aware %.3f ms] (%s)\n",
+                   num_prongs, static_cast<long long>(chosen),
+                   costs.at(chosen), artifact_path.c_str());
+    else
+      std::fprintf(stderr, "num_prongs %d -> bucket %lld (%s)\n", num_prongs,
+                   static_cast<long long>(chosen), artifact_path.c_str());
   }
 
   // ---- load the backend plugin ---------------------------------------

@@ -1,5 +1,6 @@
 """Export tests: StableHLO round-trip parity with the jitted model."""
 
+import json
 import os
 
 import jax
@@ -128,15 +129,75 @@ def test_bucket_selection_rules():
     assert select_bucket((4, 8), 13) == 8  # over-full event: largest bucket
 
 
-def test_default_ladder_has_no_rung_below_eight():
-    """artifacts/export_buckets_v5e.json: P=4 serves SLOWER than P=8
-    (1.55 vs 1.43 ms/event) — the sublane quantum is identical but XLA
-    picks a worse conv strategy, so a rung below 8 is a pure regression.
-    Npng<=4 events must land on the P=8 graph."""
+def test_select_bucket_cost_aware():
+    """Rung cost is NOT monotone in capacity: XLA's conv-strategy choice
+    flips between compilations of nearby shapes
+    (artifacts/export_buckets_v5e.json: P=8 measured 1.43 ms/event in
+    round 4 but 2.6 ms at round-5 HEAD, while P=4 reproduced at 1.55).
+    With measured per-rung costs in the export meta, dispatch picks the
+    cheapest eligible rung."""
+    head = {4: 1.55, 8: 2.62, 12: 3.92, 20: 5.07}       # round-5 HEAD
+    assert select_bucket((4, 8, 12, 20), 3, head) == 4
+    assert select_bucket((4, 8, 12, 20), 6, head) == 8
+    r4 = {4: 1.55, 8: 1.43, 12: 2.9, 20: 5.05}          # round-4 strategy
+    assert select_bucket((4, 8, 12, 20), 3, r4) == 8     # skip the bad rung
+    assert select_bucket((4, 8, 12, 20), 9, r4) == 12
+    # ties break to the smaller capacity
+    assert select_bucket((4, 8), 2, {4: 1.0, 8: 1.0}) == 4
+    # a missing cost on ANY eligible rung falls back to smallest-capacity
+    assert select_bucket((4, 8, 12), 3, {8: 1.0}) == 4
+    assert select_bucket((4, 8, 12), 3, None) == 4
+    # over-full events still land on the largest bucket
+    assert select_bucket((4, 8), 13, head) == 8
+
+
+def test_default_ladder_keeps_the_small_rung():
+    """The round-4 condemnation of P=4 (1.55 > P=8's 1.43) REVERSED at
+    round-5 HEAD (P=8 recompiled to 2.6 ms; P=4 stable) — the ladder
+    keeps the small rung and robustness comes from cost-aware dispatch,
+    not from deleting rungs on one compilation's numbers."""
     from dune_transformercvn_tpu.export import DEFAULT_PRONG_BUCKETS
 
-    assert min(DEFAULT_PRONG_BUCKETS) == 8
-    assert select_bucket(_normalize_buckets(DEFAULT_PRONG_BUCKETS, 20), 3) == 8
+    assert min(DEFAULT_PRONG_BUCKETS) == 4
+    assert select_bucket(_normalize_buckets(DEFAULT_PRONG_BUCKETS, 20), 3) == 4
+
+
+def test_cpp_loader_selection_mirrors_select_bucket(tmp_path):
+    """native/pjrt_loader.cc's bucket dispatch (which runs BEFORE the
+    plugin loads, so no device is needed) must mirror select_bucket: the
+    binary prints its choice to stderr, then fails on the bogus plugin."""
+    import subprocess
+
+    native = os.path.join(os.path.dirname(__file__), "..", "native")
+    subprocess.run(["make", "-C", native, "pjrt_loader"], check=True,
+                   capture_output=True)
+    loader = os.path.join(native, "pjrt_loader")
+
+    def choice(meta: dict, num_prongs: int) -> str:
+        meta_path = tmp_path / "meta.json"
+        meta_path.write_text(json.dumps(meta))
+        result = subprocess.run(
+            [loader, "/nonexistent_plugin.so", str(tmp_path / "tiny_pid"),
+             str(meta_path), "/nonexistent_pixels.bin", str(num_prongs),
+             str(tmp_path / "out.bin")],
+            capture_output=True, text=True, timeout=60)
+        assert result.returncode != 0  # dlopen of the bogus plugin fails
+        line = [l for l in result.stderr.splitlines() if "-> bucket" in l]
+        assert line, f"no selection line in stderr: {result.stderr!r}"
+        return line[0]
+
+    base = {"input_shape": [21, 3, 8, 8], "prong_buckets": [4, 8, 12, 20]}
+    assert "bucket 4 " in choice(base, 3)  # no costs: smallest eligible
+    assert "bucket 8 " in choice(base, 5)
+    with_costs = dict(base, bucket_ms={"4": 1.55, "8": 1.43, "12": 2.9,
+                                       "20": 5.05})
+    assert "bucket 8 [cost-aware 1.430 ms]" in choice(with_costs, 3)
+    assert "bucket 12 [cost-aware" in choice(with_costs, 9)
+    # a cost missing on an eligible rung disables cost-aware dispatch
+    partial = dict(base, bucket_ms={"8": 1.43, "12": 2.9, "20": 5.05})
+    assert "bucket 4 " in choice(partial, 3)
+    # over-full event: the full-capacity (unsuffixed) graph
+    assert "bucket 20 " in choice(base, 20)
 
 
 def test_bucketed_export_matches_full_graph(tiny_export_model, tmp_path):

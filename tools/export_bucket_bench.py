@@ -3,8 +3,10 @@
 
 The reference's TorchScript wrappers are dynamic in Npng, so a 3-prong
 event pays 4 CNN passes in LArSoft (CreateCompiled.ipynb cell 6).  Our
-static-shape answer is the bucket ladder (export.py): the caller picks the
-smallest capacity P >= Npng.  This tool times the single-event inference
+static-shape answer is the bucket ladder (export.py): the caller picks a
+capacity P >= Npng — the cheapest by the meta's measured bucket_ms when
+present (select_bucket / the C++ loader), else the smallest — because rung
+cost is not monotone in capacity.  This tool times the single-event inference
 graph (build_inference_fn — the exact computation the exported StableHLO
 serializes) at each bucket capacity on the chip and reports the per-event
 device cost, plus the headline ratio: cost at the Npng=5 bucket (P=8) vs
@@ -45,6 +47,7 @@ def main():
     from dune_transformercvn_tpu.config import Options
     from dune_transformercvn_tpu.export import (
         DEFAULT_PRONG_BUCKETS, build_inference_fn, _normalize_buckets,
+        select_bucket,
     )
     from dune_transformercvn_tpu.models.network import TransformerCVN
     from dune_transformercvn_tpu.ops.fold import (
@@ -105,13 +108,25 @@ def main():
         print(f"# bucket P={bucket:>2}: {per_event_ms:.2f} ms/event (device)",
               file=sys.stderr, flush=True)
 
-    serving = min(b for b in buckets if b >= NUM_PRONGS)
+    # dispatch exactly as serving would: the measured table IS the
+    # bucket_ms map an on-chip `export --bench_buckets` writes to the meta
+    serving = select_bucket(buckets, NUM_PRONGS, times)
     full = max(buckets)
     record["serving_bucket"] = serving
     record["speedup_vs_max_prongs"] = round(times[full] / times[serving], 3)
+    # the cost-aware ladder check: Npng<=4 events take the CHEAPEST
+    # eligible rung (round 4 that was P=8 at 1.43 ms, round 5 P=4 at 1.55
+    # — XLA's P=8 conv strategy flipped between compilations)
+    small = select_bucket(buckets, 4, times)
+    small_naive = min(b for b in buckets if b >= 4)
+    record["npng_le4_bucket"] = small
+    record["npng_le4_ms_per_event"] = round(times[small], 3)
+    record["npng_le4_cost_aware_saving_ms"] = round(
+        times[small_naive] - times[small], 3)
     print(f"# Npng={NUM_PRONGS}: bucket P={serving} is "
           f"{record['speedup_vs_max_prongs']:.2f}x cheaper than the "
-          f"P={full} graph", file=sys.stderr, flush=True)
+          f"P={full} graph; Npng<=4 serves on P={small} "
+          f"({times[small]:.2f} ms, cost-aware)", file=sys.stderr, flush=True)
 
     out = os.path.join(REPO, "artifacts", "export_buckets_v5e.json")
     with open(out, "w") as f:
